@@ -1,0 +1,278 @@
+"""MaskAttn-UNet as a pure function over explicit params/state pytrees.
+
+Reproduces the reference topology exactly (ade_semantic.py:258-314; 128x128
+spatial sizes in brackets):
+
+    x   [B,128,128,3]  (NHWC here; reference is NCHW)
+    x1 = ConvBlock(3->64)                              [128^2, 64]
+    x2 = Down(64->128)   @64^2 ; attn1(128ch, 4096 tok)
+    x3 = Down(128->256)  @32^2 ; attn2(256ch, 1024 tok)
+    x4 = Down(256->256)  @16^2 ; attn3(256ch,  256 tok)
+    x4 = ConvBlock(256->512); ConvBlock(512->512); ConvBlock(512->256)
+    x  = Up(cat(x3)=512->128) @32^2 ; dropout(0.3); attn4(128ch, 1024)
+    x  = Up(cat(x2)=256->64)  @64^2 ; dropout(0.3); attn5(64ch,  4096)
+    x  = Up(cat(x1)=128->64)  @128^2;                attn6(64ch, 16384)
+    x  = LayerNorm over [H,W,C] jointly             (ade_semantic.py:281)
+    out= Conv1x1(64->c_out) -> BN -> ReLU           (ade_semantic.py:283-287)
+
+Faithful behavioral details kept on purpose:
+- ReLU is applied to the logits before cross-entropy (reference head).
+- Down blocks end with an extra BatchNorm after the ConvBlock's own BN
+  (ade_semantic.py:215-220), Up blocks likewise (ade_semantic.py:237-241).
+- Skip concat order is [skip, x] on the channel axis (ade_semantic.py:253).
+- The reference's dead `emb_layer`s (diffusion leftovers, never called,
+  ade_semantic.py:222-225) are NOT reproduced.
+
+The cityscapes-instance variant (city_instance.py:216-276) is covered by
+config flags: `embed_dim>0` adds the 16-d embedding head and
+`with_boundary_head` adds the (loss-unused) boundary head; `forward` then
+returns (semantic_out, boundary_map, embeddings).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maskunet_tpu.core import layers
+from maskunet_tpu.ops import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskAttnUNetConfig:
+    c_in: int = 3
+    c_out: int = 150
+    img_size: int = 128
+    embed_dim: int = 0          # >0 adds the instance-embedding head
+    with_boundary_head: bool = False
+    dropout_rate: float = 0.3
+    attn_impl: str = "auto"     # 'dense' | 'flash' | 'auto'
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16'
+
+    @property
+    def multi_head_output(self) -> bool:
+        return self.embed_dim > 0 or self.with_boundary_head
+
+    def resolve_attn_impl(self) -> str:
+        if self.attn_impl != "auto":
+            return self.attn_impl
+        return "flash" if jax.default_backend() == "tpu" else "dense"
+
+
+class ModelOutput(NamedTuple):
+    semantic: jax.Array                 # [B, H, W, c_out]
+    boundary: jax.Array | None = None   # [B, H, W, 1]
+    embeddings: jax.Array | None = None  # [B, H, W, embed_dim]
+
+
+# Attention token counts per layer, as fractions of img_size (topology above).
+_ATTN_SCALES = (2, 4, 8, 4, 2, 1)   # attn1..attn6 operate at img_size // scale
+ATTN_CHANNELS = (128, 256, 256, 128, 64, 64)
+
+
+def attention_mask_sizes(img_size: int) -> tuple[int, ...]:
+    return tuple((img_size // s) ** 2 for s in _ATTN_SCALES)
+
+
+def make_attention_masks(rng: jax.Array, batch: int,
+                         img_size: int = 128) -> tuple[jax.Array, ...]:
+    """One Bernoulli(0.5) key mask per attention layer, [B, L_i] bool.
+
+    The reference generates one random mask per layer and caches it for the
+    whole run (ade_semantic.py:177-181); reproduce that by generating this
+    pytree once from a fixed seed and reusing it every step ('cached'
+    policy), or regenerate per step for the 'fresh' policy.
+    """
+    keys = jax.random.split(rng, 6)
+    return tuple(
+        attention.random_key_mask(k, batch, n)
+        for k, n in zip(keys, attention_mask_sizes(img_size))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _convblock_init(key, cin, cout, mid=None, residual=False):
+    mid = mid or cout
+    k1, k2 = jax.random.split(key)
+    params = {
+        "conv1": layers.conv2d_init(k1, cin, mid, 3, use_bias=False),
+        "conv2": layers.conv2d_init(k2, mid, cout, 3, use_bias=False),
+    }
+    bn1_p, bn1_s = layers.batchnorm_init(mid)
+    bn2_p, bn2_s = layers.batchnorm_init(cout)
+    params["bn1"], params["bn2"] = bn1_p, bn2_p
+    state = {"bn1": bn1_s, "bn2": bn2_s}
+    return params, state, residual
+
+
+def _convblock(p, s, x, *, train, residual):
+    h = layers.conv2d(p["conv1"], x)
+    h, s1 = layers.batchnorm(p["bn1"], s["bn1"], h, train=train)
+    h = layers.gelu(h)
+    h = layers.conv2d(p["conv2"], h)
+    h, s2 = layers.batchnorm(p["bn2"], s["bn2"], h, train=train)
+    out = layers.gelu(x + h) if residual else h
+    return out, {"bn1": s1, "bn2": s2}
+
+
+def _down_init(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    p1, s1, _ = _convblock_init(k1, cin, cin, residual=True)
+    p2, s2, _ = _convblock_init(k2, cin, cout)
+    bn_p, bn_s = layers.batchnorm_init(cout)
+    return ({"block1": p1, "block2": p2, "bn": bn_p},
+            {"block1": s1, "block2": s2, "bn": bn_s})
+
+
+def _down(p, s, x, *, train):
+    x = layers.max_pool_2x(x)
+    x, s1 = _convblock(p["block1"], s["block1"], x, train=train, residual=True)
+    x, s2 = _convblock(p["block2"], s["block2"], x, train=train, residual=False)
+    x, sbn = layers.batchnorm(p["bn"], s["bn"], x, train=train)
+    return x, {"block1": s1, "block2": s2, "bn": sbn}
+
+
+def _up_init(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    p1, s1, _ = _convblock_init(k1, cin, cin, residual=True)
+    p2, s2, _ = _convblock_init(k2, cin, cout, mid=cin // 2)
+    bn_p, bn_s = layers.batchnorm_init(cout)
+    return ({"block1": p1, "block2": p2, "bn": bn_p},
+            {"block1": s1, "block2": s2, "bn": bn_s})
+
+
+def _up(p, s, x, skip, *, train):
+    x = layers.upsample_2x_bilinear(x)
+    x = jnp.concatenate([skip, x], axis=-1)   # [skip, x] order, ref :253
+    x, s1 = _convblock(p["block1"], s["block1"], x, train=train, residual=True)
+    x, s2 = _convblock(p["block2"], s["block2"], x, train=train, residual=False)
+    x, sbn = layers.batchnorm(p["bn"], s["bn"], x, train=train)
+    return x, {"block1": s1, "block2": s2, "bn": sbn}
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+def init(rng: jax.Array, cfg: MaskAttnUNetConfig) -> tuple[dict, dict]:
+    """Returns (params, state) pytrees."""
+    keys = iter(jax.random.split(rng, 24))
+    params, state = {}, {}
+
+    def add_block(name, p, s):
+        params[name] = p
+        state[name] = s
+
+    p, s, _ = _convblock_init(next(keys), cfg.c_in, 64)
+    add_block("initial", p, s)
+    for i, (cin, cout) in enumerate([(64, 128), (128, 256), (256, 256)], 1):
+        p, s = _down_init(next(keys), cin, cout)
+        add_block(f"down{i}", p, s)
+    for i, ch in enumerate(ATTN_CHANNELS, 1):
+        params[f"attn{i}"] = attention.attention_init(next(keys), ch)
+    for i, (cin, cout) in enumerate([(256, 512), (512, 512), (512, 256)], 1):
+        p, s, _ = _convblock_init(next(keys), cin, cout)
+        add_block(f"bottom{i}", p, s)
+    for i, (cin, cout) in enumerate([(512, 128), (256, 64), (128, 64)], 1):
+        p, s = _up_init(next(keys), cin, cout)
+        add_block(f"up{i}", p, s)
+
+    n = cfg.img_size
+    params["final_norm"] = layers.layernorm_init((n, n, 64))
+    params["final_conv"] = layers.conv2d_init(next(keys), 64, cfg.c_out, 1)
+    bn_p, bn_s = layers.batchnorm_init(cfg.c_out)
+    params["final_bn"], state["final_bn"] = bn_p, bn_s
+
+    if cfg.embed_dim > 0:
+        params["embed_conv"] = layers.conv2d_init(next(keys), 64, cfg.embed_dim, 1)
+        bn_p, bn_s = layers.batchnorm_init(cfg.embed_dim)
+        params["embed_bn"], state["embed_bn"] = bn_p, bn_s
+    if cfg.with_boundary_head:
+        params["boundary_conv1"] = layers.conv2d_init(next(keys), cfg.c_out, 32, 3)
+        bn_p, bn_s = layers.batchnorm_init(32)
+        params["boundary_bn"], state["boundary_bn"] = bn_p, bn_s
+        params["boundary_conv2"] = layers.conv2d_init(next(keys), 32, 1, 1)
+
+    return params, state
+
+
+def apply(params: dict, state: dict, x: jax.Array, *,
+          cfg: MaskAttnUNetConfig,
+          masks: tuple[jax.Array, ...] | None = None,
+          train: bool = False,
+          dropout_rng: jax.Array | None = None
+          ) -> tuple[ModelOutput, dict]:
+    """Forward pass. x: [B, H, W, c_in] NHWC. Returns (output, new_state).
+
+    `masks`: per-attention-layer boolean key masks (see
+    `make_attention_masks`); None disables masking (all keys visible).
+    """
+    impl = cfg.resolve_attn_impl()
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = x.astype(dtype)
+    new_state = {}
+    masks = masks if masks is not None else (None,) * 6
+    if train and cfg.dropout_rate > 0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when train=True")
+        drop_rngs = jax.random.split(dropout_rng, 2)
+    else:
+        drop_rngs = (None, None)
+
+    def attn(i, h):
+        return attention.spatial_attention(
+            params[f"attn{i}"], h, masks[i - 1], impl=impl)
+
+    x1, new_state["initial"] = _convblock(
+        params["initial"], state["initial"], x, train=train, residual=False)
+    x2, new_state["down1"] = _down(params["down1"], state["down1"], x1, train=train)
+    x2 = attn(1, x2)
+    x3, new_state["down2"] = _down(params["down2"], state["down2"], x2, train=train)
+    x3 = attn(2, x3)
+    x4, new_state["down3"] = _down(params["down3"], state["down3"], x3, train=train)
+    x4 = attn(3, x4)
+
+    for i in (1, 2, 3):
+        x4, new_state[f"bottom{i}"] = _convblock(
+            params[f"bottom{i}"], state[f"bottom{i}"], x4,
+            train=train, residual=False)
+
+    h, new_state["up1"] = _up(params["up1"], state["up1"], x4, x3, train=train)
+    h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[0], train=train)
+    h = attn(4, h)
+    h, new_state["up2"] = _up(params["up2"], state["up2"], h, x2, train=train)
+    h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[1], train=train)
+    h = attn(5, h)
+    h, new_state["up3"] = _up(params["up3"], state["up3"], h, x1, train=train)
+    h = attn(6, h)
+    h = layers.layernorm(params["final_norm"], h)
+
+    sem = layers.conv2d(params["final_conv"], h)
+    sem, new_state["final_bn"] = layers.batchnorm(
+        params["final_bn"], state["final_bn"], sem, train=train)
+    sem = jax.nn.relu(sem)   # faithful: ReLU on logits (ade_semantic.py:286)
+
+    boundary = embeddings = None
+    if cfg.embed_dim > 0:
+        e = layers.conv2d(params["embed_conv"], h)
+        e, new_state["embed_bn"] = layers.batchnorm(
+            params["embed_bn"], state["embed_bn"], e, train=train)
+        embeddings = jax.nn.relu(e)
+    if cfg.with_boundary_head:
+        b = layers.conv2d(params["boundary_conv1"], sem)
+        b, new_state["boundary_bn"] = layers.batchnorm(
+            params["boundary_bn"], state["boundary_bn"], b, train=train)
+        b = jax.nn.relu(b)
+        boundary = layers.conv2d(params["boundary_conv2"], b)
+
+    return ModelOutput(sem, boundary, embeddings), new_state
+
+
+def param_count(params: dict) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,302 @@
+"""Pallas blockwise masked attention (flash-style) for TPU.
+
+TPU-native replacement for the reference's dense masked attention
+(ade_semantic.py:174-186): instead of materializing the [L, L] score matrix
+(1 GiB fp32 per sample at L=16384 — the reference's single biggest
+memory/compute consumer, SURVEY.md §2.1), this kernel streams key/value
+blocks through VMEM with an online (streaming) softmax, so HBM traffic is
+O(L*C) and the MXU sees large [BQ, C] x [C, BK] tiles.
+
+Semantics match `ops.attention.masked_attention_dense` exactly (same safe
+masked softmax: fully-masked query rows produce zeros, not NaN). The binary
+key mask enters as an additive f32 bias in {0, -1e30} per (batch, key).
+
+Forward + backward are both Pallas kernels (flash-attention-2 style
+recomputation), wired up with jax.custom_vjp so the 16k-token layer is
+trainable within v5e HBM at useful batch sizes.
+
+Grid layout (forward): (B, nQ, nK), innermost K dimension sequential
+("arbitrary") carrying the online-softmax state in VMEM scratch. Backward
+runs two kernels: dQ over (B, nQ, nK) and dK/dV over (B, nK, nQ).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from maskunet_tpu.core import layers
+
+NEG_INF = -1e30
+_INTERPRET = None  # resolved lazily: interpret mode off-TPU (CPU tests)
+
+
+def _interpret_mode() -> bool:
+    global _INTERPRET
+    if _INTERPRET is None:
+        _INTERPRET = jax.default_backend() != "tpu"
+    return _INTERPRET
+
+
+def _block_sizes(l: int) -> tuple[int, int]:
+    bq = min(l, 512)
+    bk = min(l, 512)
+    return bq, bk
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                acc_sc, m_sc, l_sc, *, scale: float, nk: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q = q_ref[0]                       # [BQ, C]
+    k = k_ref[0]                       # [BK, C]
+    v = v_ref[0]                       # [BK, C]
+    bias = bias_ref[0]                 # [1, BK] in {0, NEG_INF}
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale     # [BQ, BK]
+    s = s + bias                                        # broadcast over rows
+    valid = bias > NEG_INF * 0.5                        # [1, BK]
+
+    m_prev = m_sc[:, :1]                                # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new) * valid                      # masked keys -> 0
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_sc[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+    l_sc[:] = jnp.broadcast_to(l_new, l_sc.shape)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        l_fin = l_sc[:, :1]
+        o_ref[0] = (acc_sc[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        # lse for backward; NEG_INF rows (all keys masked) stay harmless.
+        lse_ref[0] = (m_sc[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30))).T
+
+
+def _flash_fwd(q, k, v, bias, scale):
+    b, l, c = q.shape
+    bq, bk = _block_sizes(l)
+    nq, nk = l // bq, l // bk
+    grid = (b, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda ib, iq, ik: (ib, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, c), q.dtype),
+            jax.ShapeDtypeStruct((b, 1, l), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret_mode(),
+    )(q, k, v, bias)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_sc, *, scale: float, nk: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0]                      # [BQ, C]
+    lse = lse_ref[0].T                  # [BQ, 1]
+    delta = delta_ref[0].T              # [BQ, 1]
+    bias = bias_ref[0]
+    valid = bias > NEG_INF * 0.5
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale + bias
+    p = jnp.exp(s - lse) * valid                                   # [BQ, BK]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [BQ, BK]
+    ds = p * (dp - delta)
+    dq_sc[:] += scale * jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_sc, dv_sc, *, scale: float, nq: int):
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0].T
+    delta = delta_ref[0].T
+    bias = bias_ref[0]
+    valid = bias > NEG_INF * 0.5
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale + bias
+    p = jnp.exp(s - lse) * valid                                   # [BQ, BK]
+    dv_sc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # [BK, C]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                                          # [BQ, BK]
+    dk_sc[:] += scale * jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, bias, o, lse, do, scale):
+    b, l, c = q.shape
+    bq, bk = _block_sizes(l)
+    nq, nk = l // bq, l // bk
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=False)[:, None, :]      # [B, 1, L]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, nk=nk),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda ib, iq, ik: (ib, 0, ik)),
+            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq)),
+            pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, l, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret_mode(),
+    )(q, k, v, bias, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, nq=nq),
+        grid=(b, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda ib, ik, iq: (ib, iq, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, ik, iq: (ib, ik, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, ik, iq: (ib, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda ib, ik, iq: (ib, 0, ik)),
+            pl.BlockSpec((1, bq, c), lambda ib, ik, iq: (ib, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ik, iq: (ib, 0, iq)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ik, iq: (ib, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, c), lambda ib, ik, iq: (ib, ik, 0)),
+            pl.BlockSpec((1, bk, c), lambda ib, ik, iq: (ib, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, c), k.dtype),
+            jax.ShapeDtypeStruct((b, l, c), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, c), jnp.float32),
+            pltpu.VMEM((bk, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret_mode(),
+    )(q, k, v, bias, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_mha(q, k, v, bias, scale):
+    out, _ = _flash_fwd(q, k, v, bias, scale)
+    return out
+
+
+def _fwd_rule(q, k, v, bias, scale):
+    out, lse = _flash_fwd(q, k, v, bias, scale)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _bwd_rule(scale, res, do):
+    q, k, v, bias, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, bias, out, lse, do, scale)
+    return dq, dk, dv, None
+
+
+flash_mha.defvjp(_fwd_rule, _bwd_rule)
+
+
+def mask_to_bias(key_mask: jax.Array | None, batch: int,
+                 l: int) -> jax.Array:
+    """Boolean keep-mask [B, L] -> additive f32 bias [B, 1, L] in
+    {0, NEG_INF} (3D so the block minor-most dims tile legally)."""
+    if key_mask is None:
+        return jnp.zeros((batch, 1, l), jnp.float32)
+    return jnp.where(key_mask[:, None, :], 0.0, NEG_INF).astype(jnp.float32)
+
+
+def masked_attention_flash(params: dict, tokens: jax.Array,
+                           key_mask: jax.Array | None) -> jax.Array:
+    """Drop-in replacement for `masked_attention_dense` using the Pallas
+    kernel: projections and the residual+LayerNorm epilogue stay in XLA
+    (fused into neighbors); only the O(L^2) core runs in Pallas."""
+    b, l, c = tokens.shape
+    q = layers.linear(params["query"], tokens)
+    k = layers.linear(params["key"], tokens)
+    v = layers.linear(params["value"], tokens)
+    bias = mask_to_bias(key_mask, b, l)
+    out = flash_mha(q, k, v, bias, 1.0 / (c ** 0.5))
+    out = out + tokens
+    return layers.layernorm(params["norm"], out)

@@ -1,0 +1,90 @@
+"""Masked attention: dense-vs-flash parity, gradients, and torch parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskunet_tpu.core import layers
+from maskunet_tpu.ops import attention, flash_attention
+
+
+def _setup(b=2, l=256, c=64, seed=0):
+    key = jax.random.key(seed)
+    kp, kx, km = jax.random.split(key, 3)
+    params = attention.attention_init(kp, c)
+    tokens = jax.random.normal(kx, (b, l, c), jnp.float32)
+    mask = attention.random_key_mask(km, b, l)
+    return params, tokens, mask
+
+
+@pytest.mark.parametrize("l,c", [(256, 64), (512, 128), (1024, 64)])
+def test_flash_matches_dense(l, c):
+    params, tokens, mask = _setup(l=l, c=c)
+    dense = attention.masked_attention_dense(params, tokens, mask)
+    flash = flash_attention.masked_attention_flash(params, tokens, mask)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_no_mask():
+    params, tokens, _ = _setup()
+    dense = attention.masked_attention_dense(params, tokens, None)
+    flash = flash_attention.masked_attention_flash(params, tokens, None)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fully_masked_row_is_safe():
+    """A fully-masked batch element must produce zeros (pre-residual), not
+    NaN — divergence from the reference (which would NaN) by design."""
+    params, tokens, _ = _setup(b=2, l=256, c=64)
+    mask = jnp.zeros((2, 256), bool).at[1].set(True)
+    for fn in (attention.masked_attention_dense,
+               flash_attention.masked_attention_flash):
+        out = fn(params, tokens, mask)
+        assert not np.any(np.isnan(np.asarray(out)))
+
+
+def test_flash_grads_match_dense():
+    params, tokens, mask = _setup(b=2, l=512, c=64)
+
+    def loss(fn, p, t):
+        return jnp.sum(jnp.square(fn(p, t, mask)))
+
+    gd_p, gd_t = jax.grad(lambda p, t: loss(
+        attention.masked_attention_dense, p, t), argnums=(0, 1))(params, tokens)
+    gf_p, gf_t = jax.grad(lambda p, t: loss(
+        flash_attention.masked_attention_flash, p, t), argnums=(0, 1))(params, tokens)
+
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gd_t),
+                               atol=5e-4, rtol=5e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4),
+        gd_p, gf_p)
+
+
+def test_dense_matches_torch():
+    import torch
+    from torch_oracle import OracleAttention, load_attn
+
+    b, c, h, w = 2, 64, 16, 16
+    params, tokens, mask = _setup(b=b, l=h * w, c=c)
+    x = tokens.reshape(b, h, w, c)
+
+    oracle = OracleAttention(c)
+    load_attn(oracle, jax.tree.map(np.asarray, params))
+    with torch.no_grad():
+        t_in = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        t_out = oracle(t_in, torch.from_numpy(np.asarray(mask)))
+    ours = attention.spatial_attention(params, x, mask, impl="dense")
+    np.testing.assert_allclose(
+        np.asarray(ours), t_out.permute(0, 2, 3, 1).numpy(),
+        atol=1e-4, rtol=1e-4)
+
+
+def test_mask_generation_stats():
+    mask = attention.random_key_mask(jax.random.key(0), 4, 4096)
+    frac = float(jnp.mean(mask))
+    assert 0.45 < frac < 0.55
