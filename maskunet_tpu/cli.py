@@ -1,0 +1,118 @@
+"""Command-line entry points.
+
+The reference's "CLI" is `python <script>.py` with constants at the top of
+each of nine scripts (SURVEY.md §1); here the nine recipes are named
+configs:
+
+    python -m maskunet_tpu.cli recipes
+    python -m maskunet_tpu.cli train --recipe ade_semantic \
+        --data-root /data/ADEK --workdir runs/ade [--max-steps N]
+    python -m maskunet_tpu.cli evaluate --recipe ade_semantic \
+        --data-root /data/ADEK --workdir runs/ade [--tag best]
+    python -m maskunet_tpu.cli bench [--batch-size N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--recipe", required=True)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--workdir", default="runs")
+    p.add_argument("--attn-impl", default="auto",
+                   choices=["auto", "dense", "flash"])
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--n-data", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for a smoke run)")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="maskunet_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("recipes", help="list available recipes")
+
+    tp = sub.add_parser("train")
+    _add_common(tp)
+    tp.add_argument("--max-steps", type=int, default=None)
+    tp.add_argument("--max-epochs", type=int, default=None)
+    tp.add_argument("--resume", action="store_true")
+    tp.add_argument("--log-every", type=int, default=500)
+
+    ep = sub.add_parser("evaluate")
+    _add_common(ep)
+    ep.add_argument("--tag", default="best", choices=["best", "latest"])
+    ep.add_argument("--max-batches", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "recipes":
+        from maskunet_tpu.tasks.recipes import RECIPES
+        for name, r in sorted(RECIPES.items()):
+            print(f"{name:22s} {r.dataset:10s} {r.task:9s} "
+                  f"batch={r.batch_size:<3d} lr={r.lr:g} wd={r.weight_decay:g}")
+        return 0
+
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    recipe = recipes_lib.get(args.recipe)
+
+    mesh = None
+    if args.n_data is not None:
+        from maskunet_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_data=args.n_data)
+
+    if args.cmd == "train":
+        from maskunet_tpu.train import loop
+        result = loop.train(
+            recipe, args.data_root, args.workdir,
+            max_steps=args.max_steps, max_epochs=args.max_epochs,
+            mesh=mesh, attn_impl=args.attn_impl,
+            compute_dtype=args.compute_dtype, resume=args.resume,
+            log_every=args.log_every)
+        print(json.dumps({
+            "recipe": recipe.name,
+            "best_loss": result.best_loss,
+            "best_iou": result.best_iou,
+            "images_per_sec": result.images_per_sec,
+        }))
+        return 0
+
+    if args.cmd == "evaluate":
+        import optax
+
+        from maskunet_tpu.core import checkpoint as ckpt_lib
+        from maskunet_tpu.tasks.datasets import make_datasets
+        from maskunet_tpu.train import loop
+
+        _, _, num_classes = make_datasets(recipe, args.data_root)
+        cfg = loop.model_config(recipe, num_classes,
+                                attn_impl=args.attn_impl,
+                                compute_dtype=args.compute_dtype)
+        tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+        ts = loop.setup_state(recipe, cfg, tx)
+        manager = ckpt_lib.CheckpointManager(args.workdir,
+                                             recipe.checkpoint_name)
+        ts = manager.restore(ts, args.tag)
+        metrics = loop.evaluate(recipe, args.data_root, ts, mesh=mesh,
+                                attn_impl=args.attn_impl,
+                                compute_dtype=args.compute_dtype,
+                                max_batches=args.max_batches)
+        print(json.dumps({"recipe": recipe.name, **metrics}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

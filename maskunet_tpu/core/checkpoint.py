@@ -1,0 +1,127 @@
+"""Checkpointing: full-train-state save/restore + cross-task transfer.
+
+Capabilities mirrored from the reference (SURVEY.md §5):
+- periodic / per-epoch / best-metric checkpoints (ade_semantic.py:341-344,
+  410-412, 426) — cadence lives in the training loop; this module is the
+  codec and the retention manager;
+- resume = load into a matching state template;
+- cross-task warm start that drops the classification head
+  (`final_layer.*`, strict=False — city_semantic.py:333-338): here
+  `transfer_params` merges any checkpoint leaf whose path+shape match and
+  keeps the fresh init elsewhere, which subsumes head-swap and the
+  3-head-variant transfer.
+
+Improvements over the reference by design: optimizer state, step, RNG and
+the cached attention masks are saved too (the reference saves only model
+weights — resume restarts optimizer moments from zero), and writes are
+atomic (tmp + rename) so a preempted TPU job can't leave a torn file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _is_typed_key(x: Any) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key)
+
+
+def _unkey(tree: Any) -> Any:
+    """Typed PRNG keys -> raw uint32 key data (msgpack-serializable)."""
+    return jax.tree.map(
+        lambda x: jax.random.key_data(x) if _is_typed_key(x) else x, tree)
+
+
+def _rekey(template: Any, tree: Any) -> Any:
+    """Re-wrap key data wherever the template holds a typed PRNG key."""
+    return jax.tree.map(
+        lambda t, x: jax.random.wrap_key_data(x) if _is_typed_key(t) else x,
+        template, tree)
+
+
+def save(path: str, state: Any) -> None:
+    """Atomically serialize a pytree (e.g. TrainState) to `path`."""
+    data = flax.serialization.to_bytes(_unkey(jax.device_get(state)))
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def restore(path: str, template: Any) -> Any:
+    """Deserialize into the structure of `template`."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.from_bytes(_unkey(template), f.read())
+    return _rekey(template, raw)
+
+
+def _flatten(tree: Any, prefix: tuple = ()) -> dict:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def transfer_params(init_params: dict, ckpt_params: dict,
+                    drop_prefixes: tuple[str, ...] = ()) -> tuple[dict, list]:
+    """Warm-start: take every checkpoint leaf whose path and shape match the
+    freshly initialized params; keep the fresh init for dropped prefixes,
+    missing keys, or shape mismatches (e.g. a different c_out head).
+
+    Returns (merged_params, skipped_paths).
+    """
+    flat_ckpt = _flatten(ckpt_params)
+    skipped = []
+
+    def merge(path, leaf):
+        key = tuple(str(p.key) for p in path)
+        if any(key[0] == d or "/".join(key).startswith(d)
+               for d in drop_prefixes):
+            skipped.append(key)
+            return leaf
+        src = flat_ckpt.get(key)
+        if src is None or np.shape(src) != np.shape(leaf):
+            skipped.append(key)
+            return leaf
+        return src
+
+    merged = jax.tree_util.tree_map_with_path(merge, init_params)
+    return merged, skipped
+
+
+class CheckpointManager:
+    """best / latest / periodic retention, reference cadence semantics."""
+
+    def __init__(self, directory: str, name: str = "checkpoint"):
+        self.directory = directory
+        self.name = name
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, f"{self.name}_{tag}.msgpack")
+
+    def save_best(self, state: Any) -> str:
+        path = self._path("best")
+        save(path, state)
+        return path
+
+    def save_latest(self, state: Any) -> str:
+        path = self._path("latest")
+        save(path, state)
+        return path
+
+    def restore(self, template: Any, tag: str = "latest") -> Any:
+        return restore(self._path(tag), template)
+
+    def has(self, tag: str = "latest") -> bool:
+        return os.path.exists(self._path(tag))

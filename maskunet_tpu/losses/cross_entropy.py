@@ -1,0 +1,29 @@
+"""Cross-entropy loss with torch semantics (mean over non-ignored pixels).
+
+Matches `nn.CrossEntropyLoss` / `nn.CrossEntropyLoss(ignore_index=255)` as
+used by every reference training loop (ade_semantic.py:377,399;
+city_semantic.py:339; city_instance.py:352). Logits are NHWC here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array,
+                  ignore_index: int | None = None) -> jax.Array:
+    """logits: [..., C] float; labels: [...] int. Mean NLL over pixels whose
+    label != ignore_index (torch 'mean' reduction semantics)."""
+    logits = logits.astype(jnp.float32)
+    safe_labels = labels
+    if ignore_index is not None:
+        safe_labels = jnp.where(labels == ignore_index, 0, labels)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe_labels[..., None],
+                                 axis=-1)[..., 0]
+    nll = logz - picked
+    if ignore_index is None:
+        return jnp.mean(nll)
+    mask = (labels != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

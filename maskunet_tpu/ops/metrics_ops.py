@@ -1,0 +1,85 @@
+"""Jittable segmentation metrics (device-side, no host syncs).
+
+`mean_iou` matches the reference metric exactly (ade_semantic.py:128-146):
+temperature-0.5 softmax -> argmax (argmax is temperature-invariant; kept for
+the faithful probability path used elsewhere), per-class intersection/union
+over the *whole batch*, classes with union 0 skipped, smoothing 1e-6.
+
+Unlike the reference's per-class python loop (a host-synced GPU loop,
+SURVEY.md §3.1 hot spot 2), the counts come from two one-shot bincounts —
+one kernel launch, fully on-device, and correct under pjit (the sums reduce
+over the sharded batch axis with XLA collectives).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def predictions(logits: jax.Array, temperature: float = 0.5) -> jax.Array:
+    """argmax class map from NHWC logits (reference eval path applies
+    softmax(logits/0.5) first — ade_semantic.py:130; argmax-equivalent)."""
+    del temperature
+    return jnp.argmax(logits, axis=-1)
+
+
+def probabilities(logits: jax.Array, temperature: float = 0.5) -> jax.Array:
+    """softmax(logits / T) — the probability maps used for instance scoring
+    (ade_instance.py:407-409)."""
+    return jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+
+
+def iou_counts(pred: jax.Array, labels: jax.Array, num_classes: int,
+               ignore_index: int | None = None
+               ) -> tuple[jax.Array, jax.Array]:
+    """Per-class (intersection, union) counts over all given pixels."""
+    pred = pred.reshape(-1)
+    labels = labels.reshape(-1)
+    eq = pred == labels
+    if ignore_index is not None:
+        keep = labels != ignore_index
+    else:
+        keep = jnp.ones_like(labels, dtype=bool)
+    inter = jnp.bincount(jnp.where(eq & keep, pred, num_classes),
+                         length=num_classes + 1)[:num_classes]
+    pred_count = jnp.bincount(jnp.where(keep, pred, num_classes),
+                              length=num_classes + 1)[:num_classes]
+    true_count = jnp.bincount(jnp.where(keep, labels, num_classes),
+                              length=num_classes + 1)[:num_classes]
+    union = pred_count + true_count - inter
+    return inter, union
+
+
+def mean_iou(logits: jax.Array, labels: jax.Array, num_classes: int,
+             smooth: float = 1e-6,
+             ignore_index: int | None = None) -> jax.Array:
+    """Batch mIoU, reference semantics. Note the reference does NOT exclude
+    ignore pixels from the union (pred==c | true==255 counts toward c's
+    union); pass ignore_index=None to reproduce that exactly, or an index to
+    get the cleaner metric."""
+    pred = predictions(logits)
+    inter, union = iou_counts(pred, labels, num_classes, ignore_index)
+    present = union > 0
+    iou = (inter.astype(jnp.float32) + smooth) / (
+        union.astype(jnp.float32) + smooth)
+    return jnp.sum(jnp.where(present, iou, 0.0)) / jnp.maximum(
+        jnp.sum(present.astype(jnp.float32)), 1.0)
+
+
+def confusion_matrix(pred: jax.Array, labels: jax.Array, num_classes: int,
+                     ignore_index: int | None = None) -> jax.Array:
+    """[C, C] confusion counts (rows = true, cols = pred)."""
+    pred = pred.reshape(-1)
+    labels = labels.reshape(-1)
+    if ignore_index is not None:
+        keep = labels != ignore_index
+        pred = jnp.where(keep, pred, 0)
+        labels = jnp.where(keep, labels, 0)
+        w = keep.astype(jnp.int32)
+    else:
+        w = jnp.ones_like(pred, dtype=jnp.int32)
+    idx = labels * num_classes + pred
+    return jnp.bincount(idx, weights=w,
+                        length=num_classes * num_classes).reshape(
+        num_classes, num_classes)

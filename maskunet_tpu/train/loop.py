@@ -1,0 +1,184 @@
+"""The training loop: epochs, cadenced checkpoints, early stop, logging.
+
+Orchestrates the reference's loop behavior (SURVEY.md §2.3) around the
+jitted step: per-batch metric accumulation, intra-epoch periodic prints and
+checkpoint saves (ade_semantic.py:408-412), per-epoch 'latest' checkpoint
+(:426), EarlyStopping on *training* loss saving 'best' (:431), and the
+overfit circuit-breaker on mIoU (:420-422). Improvements by design: full
+train-state checkpoints (resume restores optimizer/step/RNG/masks),
+prefetched input pipeline, jsonl metrics, images/sec meter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import optax
+
+from maskunet_tpu.core import checkpoint as ckpt_lib
+from maskunet_tpu.core import metrics_log, state as state_lib
+from maskunet_tpu.core.loop_control import EarlyStopping, OverfitGuard
+from maskunet_tpu.data import pipeline
+from maskunet_tpu.models import maskattn_unet as model_lib
+from maskunet_tpu.parallel import mesh as mesh_lib
+from maskunet_tpu.tasks.datasets import make_datasets
+from maskunet_tpu.tasks.recipes import Recipe
+from maskunet_tpu.train import step as step_lib
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: state_lib.TrainState
+    history: list[dict]
+    best_loss: float
+    best_iou: float
+    images_per_sec: float
+
+
+def model_config(recipe: Recipe, num_classes: int, *,
+                 attn_impl: str = "auto",
+                 compute_dtype: str = "float32") -> model_lib.MaskAttnUNetConfig:
+    return model_lib.MaskAttnUNetConfig(
+        c_out=num_classes, img_size=recipe.img_size,
+        embed_dim=recipe.embed_dim,
+        with_boundary_head=recipe.with_boundary_head,
+        attn_impl=attn_impl, compute_dtype=compute_dtype)
+
+
+def setup_state(recipe: Recipe, cfg: model_lib.MaskAttnUNetConfig, tx,
+                *, batch_size: int | None = None) -> state_lib.TrainState:
+    rng = jax.random.key(recipe.seed)
+    init_rng, mask_rng, state_rng = jax.random.split(rng, 3)
+    params, mstate = model_lib.init(init_rng, cfg)
+    masks = model_lib.make_attention_masks(
+        mask_rng, batch_size or recipe.batch_size, cfg.img_size)
+    return state_lib.create(state_rng, params, mstate, tx, masks=masks)
+
+
+def train(recipe: Recipe, data_root: str | None, workdir: str, *,
+          max_steps: int | None = None, max_epochs: int | None = None,
+          mesh=None, attn_impl: str = "auto",
+          compute_dtype: str = "float32", resume: bool = False,
+          log_every: int = 500, ckpt_every: int = 2000,
+          num_io_threads: int = 4, verbose: bool = True) -> TrainResult:
+    train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
+    cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
+                       compute_dtype=compute_dtype)
+    tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+    ts = setup_state(recipe, cfg, tx)
+
+    manager = ckpt_lib.CheckpointManager(workdir, recipe.checkpoint_name)
+    if resume and manager.has("latest"):
+        ts = manager.restore(ts, "latest")
+        if verbose:
+            print(f"resumed from step {int(ts.step)}")
+
+    sharding = None
+    if mesh is not None:
+        ts = mesh_lib.put_replicated(mesh, ts)
+        sharding = mesh_lib.batch_sharding(mesh)
+
+    train_step = jax.jit(step_lib.make_train_step(cfg, recipe.task_config, tx),
+                         donate_argnums=(0,))
+    logger = metrics_log.MetricsLogger(workdir, f"train_{recipe.name}")
+    meter = metrics_log.Throughput()
+    # `current` indirection: the callback must save the state at call time,
+    # not the init-time binding.
+    current: dict[str, Any] = {"ts": ts}
+    early = EarlyStopping(recipe.patience, verbose=verbose,
+                          on_improve=lambda: manager.save_best(current["ts"]))
+    guard = OverfitGuard(recipe.overfit_margin)
+
+    batches = pipeline.BatchIterator(
+        train_ds, recipe.batch_size, shuffle=True, seed=recipe.seed,
+        drop_last=True, num_threads=num_io_threads)
+    history: list[dict] = []
+    best_loss, best_iou = float("inf"), 0.0
+    steps_done = 0
+    epochs = max_epochs if max_epochs is not None else recipe.num_epochs
+
+    for epoch in range(epochs):
+        total_loss = total_iou = 0.0
+        count = 0
+        for i, batch in enumerate(pipeline.Prefetcher(
+                batches.epoch(epoch), sharding=sharding)):
+            batch.pop("valid", None)
+            ts, metrics = train_step(ts, batch)
+            current["ts"] = ts
+            meter.step(recipe.batch_size)
+            loss = float(metrics["loss"])
+            iou = float(metrics["miou"])
+            total_loss += loss
+            total_iou += iou
+            count += 1
+            steps_done += 1
+            if log_every and i % log_every == 0 and i != 0:
+                if verbose:
+                    print(f"epoch {epoch + 1}: batch[{i}] "
+                          f"loss {total_loss / count:.4f} "
+                          f"iou {total_iou / count:.4f}")
+                if ckpt_every and i % ckpt_every == 0:
+                    manager.save_latest(ts)
+            if max_steps is not None and steps_done >= max_steps:
+                break
+
+        avg_loss = total_loss / max(count, 1)
+        avg_iou = total_iou / max(count, 1)
+        best_loss = min(best_loss, avg_loss)
+        best_iou = max(best_iou, avg_iou)
+        record = {"epoch": epoch + 1, "loss": avg_loss, "miou": avg_iou,
+                  "step": steps_done,
+                  "images_per_sec": round(meter.images_per_sec(), 2)}
+        history.append(record)
+        logger.log(record)
+        if verbose:
+            print(f"epoch [{epoch + 1}/{epochs}] loss {avg_loss:.4f} "
+                  f"iou {avg_iou:.4f} "
+                  f"({record['images_per_sec']} img/s)")
+        manager.save_latest(ts)
+
+        if max_steps is not None and steps_done >= max_steps:
+            break
+        if guard(avg_iou):
+            if verbose:
+                print("overfit guard triggered")
+            break
+        if early(avg_loss):
+            if verbose:
+                print("early stopping triggered")
+            break
+
+    logger.close()
+    return TrainResult(ts, history, best_loss, best_iou,
+                       meter.images_per_sec())
+
+
+def evaluate(recipe: Recipe, data_root: str | None, ts: state_lib.TrainState,
+             *, mesh=None, attn_impl: str = "auto",
+             compute_dtype: str = "float32",
+             max_batches: int | None = None) -> dict[str, float]:
+    """Validation pass: loss + mIoU with running BN stats
+    (ade_semantic.py:439-474 — minus its epoch-loop re-running bug)."""
+    _, val_ds, num_classes = make_datasets(recipe, data_root)
+    cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
+                       compute_dtype=compute_dtype)
+    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+    sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+    batches = pipeline.BatchIterator(
+        val_ds, recipe.batch_size, shuffle=False, drop_last=True)
+    total: dict[str, float] = {}
+    count = 0
+    for i, batch in enumerate(pipeline.Prefetcher(
+            batches.epoch(0), sharding=sharding)):
+        batch.pop("valid", None)
+        result = eval_step(ts, batch)
+        for k, v in result["metrics"].items():
+            total[k] = total.get(k, 0.0) + float(v)
+        count += 1
+        if max_batches is not None and i + 1 >= max_batches:
+            break
+    return {k: v / max(count, 1) for k, v in total.items()}

@@ -1,0 +1,126 @@
+"""Jitted train / eval steps for all task families.
+
+One factory covers the reference's four training-loop patterns
+(SURVEY.md §2.3):
+
+- semantic:            CE                       (ade_semantic.py:399)
+- panoptic:            0.9*CE + 0.1*triplet on sem logits
+                       (ade_panoptic.py:461-463, coco_panoptic.py:549-552)
+- instance (embed):    CE(ignore 255) + 0.5*triplet on 16-d embeddings
+                       (city_instance.py:374-376)
+- instance (summed):   CE on the summed-mask integer target
+                       (coco_instance.py:331-341 — dataset-side transform)
+
+expressed as (ce_weight, triplet_weight, triplet_features, ignore_index).
+
+The attention-mask policy mirrors the reference's run-long mask caching:
+'cached' reuses the mask pytree carried in TrainState (regenerating only if
+absent), 'fresh' draws new Bernoulli masks every step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from maskunet_tpu.core.state import TrainState
+from maskunet_tpu.losses.cross_entropy import cross_entropy
+from maskunet_tpu.losses.triplet import instance_triplet_loss
+from maskunet_tpu.models import maskattn_unet as model
+from maskunet_tpu.ops import metrics_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    ce_weight: float = 1.0
+    triplet_weight: float = 0.0
+    triplet_features: str = "logits"      # 'logits' | 'embeddings'
+    ignore_index: int | None = None       # CE ignore (255 for cityscapes)
+    triplet_ignore_label: int | None = None
+    triplet_samples: int = 32
+    mask_policy: str = "cached"           # 'cached' | 'fresh'
+
+
+def _compute_loss(out: model.ModelOutput, batch: dict, task: TaskConfig,
+                  triplet_rng: jax.Array) -> tuple[jax.Array, dict]:
+    logits = out.semantic.astype(jnp.float32)
+    ce = cross_entropy(logits, batch["label"], task.ignore_index)
+    loss = task.ce_weight * ce
+    metrics = {"ce_loss": ce}
+    if task.triplet_weight > 0.0:
+        feats = (out.embeddings if task.triplet_features == "embeddings"
+                 else logits)
+        tri = instance_triplet_loss(
+            feats, batch["instance"], triplet_rng,
+            num_samples=task.triplet_samples,
+            ignore_label=task.triplet_ignore_label)
+        loss = loss + task.triplet_weight * tri
+        metrics["triplet_loss"] = tri
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
+                    tx) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Returns a pure step(ts, batch) -> (ts, metrics), ready for jit/pjit."""
+
+    def step(ts: TrainState, batch: dict):
+        rng = jax.random.fold_in(ts.rng, ts.step)
+        mask_rng, dropout_rng, triplet_rng = jax.random.split(rng, 3)
+        if task.mask_policy == "fresh" or ts.masks is None:
+            masks = model.make_attention_masks(
+                mask_rng, batch["image"].shape[0], cfg.img_size)
+        else:
+            masks = ts.masks
+
+        def loss_fn(params):
+            out, new_mstate = model.apply(
+                params, ts.model_state, batch["image"], cfg=cfg,
+                masks=masks, train=True, dropout_rng=dropout_rng)
+            loss, metrics = _compute_loss(out, batch, task, triplet_rng)
+            return loss, (metrics, new_mstate, out)
+
+        grads, (metrics, new_mstate, out) = jax.grad(
+            loss_fn, has_aux=True)(ts.params)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
+        metrics["miou"] = metrics_ops.mean_iou(
+            out.semantic, batch["label"], cfg.c_out)
+        new_ts = ts.replace(step=ts.step + 1, params=new_params,
+                            model_state=new_mstate, opt_state=new_opt,
+                            masks=masks)
+        return new_ts, metrics
+
+    return step
+
+
+def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig
+                   ) -> Callable[[TrainState, dict], dict]:
+    """Eval step: running BN stats, no dropout; returns metrics + argmax
+    prediction map (for host-side instance/panoptic decoding)."""
+
+    def step(ts: TrainState, batch: dict):
+        masks = ts.masks
+        if masks is None:
+            masks = model.make_attention_masks(
+                ts.rng, batch["image"].shape[0], cfg.img_size)
+        out, _ = model.apply(ts.params, ts.model_state, batch["image"],
+                             cfg=cfg, masks=masks, train=False)
+        _, metrics = _compute_loss(out, batch, task,
+                                   jax.random.fold_in(ts.rng, 1))
+        metrics["miou"] = metrics_ops.mean_iou(
+            out.semantic, batch["label"], cfg.c_out)
+        result = {
+            "metrics": metrics,
+            "pred": metrics_ops.predictions(out.semantic),
+            "prob": metrics_ops.probabilities(out.semantic),
+        }
+        if out.embeddings is not None:
+            result["embeddings"] = out.embeddings
+        return result
+
+    return step

@@ -1,0 +1,144 @@
+"""Train-step integration: loss decreases, state round-trips, transfer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from maskunet_tpu.core import checkpoint, state as state_lib
+from maskunet_tpu.models import maskattn_unet as mu
+from maskunet_tpu.train import step as step_lib
+
+
+def _setup(task=None, cfg=None, seed=0, batch=4):
+    cfg = cfg or mu.MaskAttnUNetConfig(c_out=4, img_size=16,
+                                       attn_impl="dense")
+    task = task or step_lib.TaskConfig()
+    params, mstate = mu.init(jax.random.key(seed), cfg)
+    tx = optax.adamw(1e-3, weight_decay=1e-4)
+    masks = mu.make_attention_masks(jax.random.key(seed + 1), batch,
+                                    cfg.img_size)
+    ts = state_lib.create(jax.random.key(seed + 2), params, mstate, tx,
+                          masks=masks)
+    return cfg, task, tx, ts
+
+
+def _synthetic_batch(cfg, batch=4, seed=0, with_instance=False):
+    """Learnable task: label = quadrant index of the pixel."""
+    rng = np.random.default_rng(seed)
+    h = cfg.img_size
+    yy, xx = np.mgrid[0:h, 0:h]
+    label = (yy >= h // 2) * 2 + (xx >= h // 2)
+    labels = np.broadcast_to(label, (batch, h, h)).astype(np.int32)
+    images = (labels[..., None] / 3.0 +
+              0.05 * rng.standard_normal((batch, h, h, 3))).astype(np.float32)
+    out = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+    if with_instance:
+        out["instance"] = jnp.asarray(labels + 1)
+    return out
+
+
+def test_loss_decreases_semantic():
+    cfg, task, tx, ts = _setup()
+    train_step = jax.jit(step_lib.make_train_step(cfg, task, tx))
+    batch = _synthetic_batch(cfg)
+    first = None
+    for i in range(30):
+        ts, metrics = train_step(ts, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.8, (first, last)
+    assert int(ts.step) == 30
+    assert float(metrics["miou"]) > 0.2
+
+
+def test_panoptic_blend_runs():
+    cfg = mu.MaskAttnUNetConfig(c_out=4, img_size=16, attn_impl="dense")
+    task = step_lib.TaskConfig(ce_weight=0.9, triplet_weight=0.1)
+    _, _, tx, ts = _setup(task, cfg)
+    train_step = jax.jit(step_lib.make_train_step(cfg, task, tx))
+    batch = _synthetic_batch(cfg, with_instance=True)
+    ts, metrics = train_step(ts, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "triplet_loss" in metrics
+
+
+def test_instance_embed_variant_runs():
+    cfg = mu.MaskAttnUNetConfig(c_out=4, img_size=16, embed_dim=16,
+                                with_boundary_head=True, attn_impl="dense")
+    task = step_lib.TaskConfig(ce_weight=1.0, triplet_weight=0.5,
+                               triplet_features="embeddings",
+                               ignore_index=255, triplet_ignore_label=255)
+    _, _, tx, ts = _setup(task, cfg)
+    train_step = jax.jit(step_lib.make_train_step(cfg, task, tx))
+    batch = _synthetic_batch(cfg, with_instance=True)
+    ts, metrics = train_step(ts, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, task, tx, ts = _setup()
+    train_step = jax.jit(step_lib.make_train_step(cfg, task, tx))
+    batch = _synthetic_batch(cfg)
+    ts, _ = train_step(ts, batch)
+
+    path = str(tmp_path / "ckpt.msgpack")
+    checkpoint.save(path, ts)
+    restored = checkpoint.restore(path, ts)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(ts.params), restored.params)
+    assert int(restored.step) == int(ts.step)
+
+    # training continues identically from a restored state
+    ts2, m2 = train_step(restored, batch)
+    ts1, m1 = train_step(ts, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+
+
+def test_transfer_params_head_swap():
+    """Cross-task warm start drops the c_out-dependent head
+    (city_semantic.py:333-338 capability)."""
+    cfg_a = mu.MaskAttnUNetConfig(c_out=4, img_size=16)
+    cfg_b = mu.MaskAttnUNetConfig(c_out=7, img_size=16)
+    pa, _ = mu.init(jax.random.key(0), cfg_a)
+    pb, _ = mu.init(jax.random.key(1), cfg_b)
+    merged, skipped = checkpoint.transfer_params(pb, pa)
+    # trunk transferred
+    np.testing.assert_array_equal(
+        np.asarray(merged["initial"]["conv1"]["kernel"]),
+        np.asarray(pa["initial"]["conv1"]["kernel"]))
+    # mismatched head kept from fresh init
+    np.testing.assert_array_equal(
+        np.asarray(merged["final_conv"]["kernel"]),
+        np.asarray(pb["final_conv"]["kernel"]))
+    assert any(k[0] == "final_conv" for k in skipped)
+
+
+def test_eval_step_outputs():
+    cfg, task, tx, ts = _setup()
+    eval_step = jax.jit(step_lib.make_eval_step(cfg, task))
+    batch = _synthetic_batch(cfg)
+    result = eval_step(ts, batch)
+    assert result["pred"].shape == (4, 16, 16)
+    assert result["prob"].shape == (4, 16, 16, 4)
+    np.testing.assert_allclose(
+        np.asarray(result["prob"]).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_early_stopping_and_overfit_guard():
+    from maskunet_tpu.core.loop_control import EarlyStopping, OverfitGuard
+    saves = []
+    es = EarlyStopping(patience=2, on_improve=lambda: saves.append(1))
+    assert not es(1.0) and not es(0.9)      # improvements
+    assert not es(1.1)                      # counter 1
+    assert es(1.2)                          # counter 2 -> stop
+    assert len(saves) == 2
+
+    og = OverfitGuard(margin=0.1)
+    assert not og(0.5)
+    assert not og(0.45)
+    assert og(0.35)
