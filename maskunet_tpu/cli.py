@@ -50,6 +50,12 @@ def main(argv=None) -> int:
     _add_common(ep)
     ep.add_argument("--tag", default="best", choices=["best", "latest"])
     ep.add_argument("--max-batches", type=int, default=None)
+    ep.add_argument("--mode", default="semantic",
+                    choices=["semantic", "instances", "panoptic"],
+                    help="semantic: loss+mIoU; instances: AP with "
+                         "max_queries sweep; panoptic: AP+PQ+mIoU")
+    ep.add_argument("--max-queries", type=int, nargs="+",
+                    default=[50, 100, 150, 200])
 
     args = parser.parse_args(argv)
 
@@ -104,11 +110,27 @@ def main(argv=None) -> int:
         manager = ckpt_lib.CheckpointManager(args.workdir,
                                              recipe.checkpoint_name)
         ts = manager.restore(ts, args.tag)
-        metrics = loop.evaluate(recipe, args.data_root, ts, mesh=mesh,
-                                attn_impl=args.attn_impl,
-                                compute_dtype=args.compute_dtype,
-                                max_batches=args.max_batches)
-        print(json.dumps({"recipe": recipe.name, **metrics}))
+        if args.mode == "semantic":
+            metrics = loop.evaluate(recipe, args.data_root, ts, mesh=mesh,
+                                    attn_impl=args.attn_impl,
+                                    compute_dtype=args.compute_dtype,
+                                    max_batches=args.max_batches)
+            print(json.dumps({"recipe": recipe.name, **metrics}))
+        elif args.mode == "instances":
+            from maskunet_tpu.tasks import evaluators
+            results = evaluators.evaluate_instances(
+                recipe, args.data_root, ts,
+                max_queries=tuple(args.max_queries),
+                max_batches=args.max_batches, attn_impl=args.attn_impl)
+            print(json.dumps({"recipe": recipe.name,
+                              "instances": {str(k): v for k, v in
+                                            results.items()}}))
+        else:
+            from maskunet_tpu.tasks import evaluators
+            out = evaluators.evaluate_panoptic(
+                recipe, args.data_root, ts,
+                max_batches=args.max_batches, attn_impl=args.attn_impl)
+            print(json.dumps({"recipe": recipe.name, **out}))
         return 0
 
     return 1

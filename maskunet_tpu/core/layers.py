@@ -49,17 +49,18 @@ def conv2d_init(key: jax.Array, cin: int, cout: int, ksize: int,
 
 def conv2d(params: Params, x: jax.Array, *, stride: int = 1,
            padding: str = "SAME") -> jax.Array:
-    """NHWC conv with HWIO kernel; accumulates in f32 on the MXU."""
+    """NHWC conv with HWIO kernel. bf16 inputs accumulate in f32 on the
+    TPU MXU by default; an explicit preferred_element_type is avoided
+    because its transpose rule breaks mixed-dtype autodiff."""
     kernel = params["kernel"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "bias" in params:
-        y = y + params["bias"].astype(jnp.float32)
+        y = y + params["bias"].astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -73,10 +74,9 @@ def linear_init(key: jax.Array, cin: int, cout: int,
 
 
 def linear(params: Params, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, params["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32)
+    y = jnp.dot(x, params["kernel"].astype(x.dtype))
     if "bias" in params:
-        y = y + params["bias"].astype(jnp.float32)
+        y = y + params["bias"].astype(y.dtype)
     return y.astype(x.dtype)
 
 

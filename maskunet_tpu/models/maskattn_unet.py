@@ -206,12 +206,17 @@ def apply(params: dict, state: dict, x: jax.Array, *,
           cfg: MaskAttnUNetConfig,
           masks: tuple[jax.Array, ...] | None = None,
           train: bool = False,
-          dropout_rng: jax.Array | None = None
-          ) -> tuple[ModelOutput, dict]:
+          dropout_rng: jax.Array | None = None,
+          mesh=None) -> tuple[ModelOutput, dict]:
     """Forward pass. x: [B, H, W, c_in] NHWC. Returns (output, new_state).
 
     `masks`: per-attention-layer boolean key masks (see
     `make_attention_masks`); None disables masking (all keys visible).
+
+    `mesh`: optional jax.sharding.Mesh with ('data', 'model') axes. When
+    given, activations are annotated batch-over-'data' throughout and the
+    512-channel bottleneck is additionally sharded channels-over-'model'
+    (the tensor-parallel seam; GSPMD propagates matching kernel shardings).
     """
     impl = cfg.resolve_attn_impl()
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -224,6 +229,13 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         drop_rngs = jax.random.split(dropout_rng, 2)
     else:
         drop_rngs = (None, None)
+
+    def constrain(h, spec_channels_tp=False):
+        if mesh is None:
+            return h
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", None, None, "model" if spec_channels_tp else None)
+        return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
     def attn(i, h):
         return attention.spatial_attention(
@@ -242,6 +254,8 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         x4, new_state[f"bottom{i}"] = _convblock(
             params[f"bottom{i}"], state[f"bottom{i}"], x4,
             train=train, residual=False)
+        # TP seam: shard the 512-wide bottleneck channels over 'model'
+        x4 = constrain(x4, spec_channels_tp=(i < 3))
 
     h, new_state["up1"] = _up(params["up1"], state["up1"], x4, x3, train=train)
     h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[0], train=train)

@@ -1,0 +1,153 @@
+"""Task-level evaluation flows: semantic mIoU, instance AP, panoptic PQ/AP.
+
+Mirrors the reference's three evaluation call stacks (SURVEY.md §3.3-3.5)
+on top of the jitted eval step + host-side evaluation stack:
+
+- `evaluate_semantic`: val loss + mIoU (ade_semantic.py:439-474).
+- `evaluate_instances`: predictions -> temperature-softmax probs -> argmax
+  -> connected-component instances scored by mean class probability,
+  ground truth instances from the semantic mask (ADE pattern,
+  ade_instance.py:399-457) or the instance-id map / DBSCAN embeddings
+  (Cityscapes pattern, city_instance.py:451-513); COCO-style segm AP with
+  a max_queries sweep.
+- `evaluate_panoptic`: per-image IoU + instance AP at iouThrs 0.5:0.95
+  (ade_panoptic.py:520-592) + *correct* PQ via panoptic fusion
+  (fixing the reference's instance-format-into-pq_compute bug while
+  keeping its reported metric shapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from maskunet_tpu.data import pipeline
+from maskunet_tpu.evaluation import (clustering, coco_eval, instances,
+                                     panoptic)
+from maskunet_tpu.tasks.datasets import make_datasets
+from maskunet_tpu.tasks.recipes import Recipe
+from maskunet_tpu.train import loop as loop_lib
+from maskunet_tpu.train import step as step_lib
+
+
+def _iter_eval(recipe: Recipe, data_root: str | None, ts, *,
+               attn_impl: str = "auto", max_batches: int | None = None):
+    """Yields (image_id_base, host dict with pred/prob/label[/instance/
+    embeddings]) per batch."""
+    _, val_ds, num_classes = make_datasets(recipe, data_root)
+    cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl)
+    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+    batches = pipeline.BatchIterator(val_ds, recipe.batch_size,
+                                     shuffle=False, drop_last=True)
+    for i, batch in enumerate(batches.epoch(0)):
+        batch.pop("valid", None)
+        dev_batch = pipeline.to_device(batch)
+        result = eval_step(ts, dev_batch)
+        host = {
+            "pred": np.asarray(result["pred"]),
+            "prob": np.asarray(result["prob"]),
+            "label": np.asarray(batch["label"]),
+        }
+        if "instance" in batch:
+            host["instance"] = np.asarray(batch["instance"])
+        if "embeddings" in result:
+            host["embeddings"] = np.asarray(result["embeddings"])
+        yield i * recipe.batch_size, host, result["metrics"], num_classes
+        if max_batches is not None and i + 1 >= max_batches:
+            return
+
+
+def evaluate_semantic(recipe: Recipe, data_root: str | None, ts,
+                      **kw) -> dict[str, float]:
+    return loop_lib.evaluate(recipe, data_root, ts, **kw)
+
+
+def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
+                       max_queries: tuple[int, ...] = (50, 100, 150, 200),
+                       use_embeddings: bool | None = None,
+                       max_batches: int | None = None,
+                       attn_impl: str = "auto") -> dict[int, dict]:
+    """Instance AP with the reference's max_queries sweep
+    (ade_instance.py:451-457: 50/100/150/200; city_instance.py:510:
+    30/50/70/100). Returns {max_queries: summarize() stats}."""
+    if use_embeddings is None:
+        use_embeddings = recipe.embed_dim > 0
+    gts: list[dict] = []
+    dts: list[dict] = []
+    for base_id, host, _, _ in _iter_eval(
+            recipe, data_root, ts, attn_impl=attn_impl,
+            max_batches=max_batches):
+        for b in range(host["pred"].shape[0]):
+            img_id = base_id + b
+            pred, prob = host["pred"][b], host["prob"][b]
+            if use_embeddings and "embeddings" in host:
+                masks = clustering.instances_from_embeddings(
+                    pred, host["embeddings"][b])
+                pred_inst = clustering.annotate_instances(masks, pred)
+            else:
+                pred_inst = instances.get_instances_from_mask(pred, prob)
+            if "instance" in host:
+                gt_inst = instances.instances_from_id_map(
+                    host["instance"][b], host["label"][b])
+            else:
+                gt_inst = instances.get_instances_from_mask(host["label"][b])
+            for g in gt_inst:
+                gts.append({**g, "image_id": img_id})
+            for d in pred_inst:
+                dts.append({**d, "image_id": img_id})
+
+    results = {}
+    for q in max_queries:
+        by_img: dict[int, list] = {}
+        for d in dts:
+            by_img.setdefault(d["image_id"], []).append(d)
+        capped = [d for lst in by_img.values()
+                  for d in instances.top_k_by_score(lst, q)]
+        results[q] = coco_eval.evaluate_ap(gts, capped)
+    return results
+
+
+def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
+                      things: set[int] | None = None,
+                      max_batches: int | None = None,
+                      attn_impl: str = "auto") -> dict:
+    """AP (segm, iouThrs 0.5:0.95) + PQ All/Things/Stuff + mean IoU —
+    the tuple the reference prints (ade_panoptic.py:588-592)."""
+    gts: list[dict] = []
+    dts: list[dict] = []
+    pq_images = []
+    ious: list[float] = []
+    for base_id, host, _, num_classes in _iter_eval(
+            recipe, data_root, ts, attn_impl=attn_impl,
+            max_batches=max_batches):
+        for b in range(host["pred"].shape[0]):
+            img_id = base_id + b
+            pred, label = host["pred"][b], host["label"][b]
+            # per-image IoU (compute_iou_for_image, ade_panoptic.py:182-192)
+            present = [
+                (np.sum((pred == c) & (label == c)),
+                 np.sum((pred == c) | (label == c)))
+                for c in range(num_classes)]
+            per_cls = [i / u for i, u in present if u > 0]
+            ious.append(float(np.mean(per_cls)) if per_cls else 1.0)
+            # instance AP from connected components (reference pattern)
+            for g in instances.get_instances_from_mask(label):
+                gts.append({**g, "image_id": img_id})
+            for d in instances.get_instances_from_mask(pred, host["prob"][b]):
+                dts.append({**d, "image_id": img_id})
+            # correct PQ via panoptic fusion
+            gt_inst = host.get("instance")
+            gt_pan, gt_segs = panoptic.semantic_to_panoptic(
+                label, gt_inst[b] if gt_inst is not None else None,
+                things=things)
+            pred_pan, pred_segs = panoptic.semantic_to_panoptic(
+                pred, None, things=things)
+            pq_images.append((gt_pan, gt_segs, pred_pan, pred_segs))
+
+    ap_stats = coco_eval.evaluate_ap(gts, dts)
+    pq_stats = panoptic.pq_compute(pq_images, things=things)
+    return {
+        "ap": ap_stats,
+        "pq": pq_stats,
+        "miou": float(np.mean(ious)) if ious else 0.0,
+    }

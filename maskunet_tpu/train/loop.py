@@ -81,7 +81,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         ts = mesh_lib.put_replicated(mesh, ts)
         sharding = mesh_lib.batch_sharding(mesh)
 
-    train_step = jax.jit(step_lib.make_train_step(cfg, recipe.task_config, tx),
+    train_step = jax.jit(step_lib.make_train_step(cfg, recipe.task_config, tx, mesh=mesh),
                          donate_argnums=(0,))
     logger = metrics_log.MetricsLogger(workdir, f"train_{recipe.name}")
     meter = metrics_log.Throughput()
@@ -165,7 +165,7 @@ def evaluate(recipe: Recipe, data_root: str | None, ts: state_lib.TrainState,
     _, val_ds, num_classes = make_datasets(recipe, data_root)
     cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
                        compute_dtype=compute_dtype)
-    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config, mesh=mesh))
     sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
 
     batches = pipeline.BatchIterator(

@@ -65,8 +65,10 @@ def _compute_loss(out: model.ModelOutput, batch: dict, task: TaskConfig,
 
 
 def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
-                    tx) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Returns a pure step(ts, batch) -> (ts, metrics), ready for jit/pjit."""
+                    tx, mesh=None
+                    ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Returns a pure step(ts, batch) -> (ts, metrics), ready for jit/pjit.
+    `mesh` enables in-model sharding annotations (DP batch + bottleneck TP)."""
 
     def step(ts: TrainState, batch: dict):
         rng = jax.random.fold_in(ts.rng, ts.step)
@@ -80,7 +82,7 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
         def loss_fn(params):
             out, new_mstate = model.apply(
                 params, ts.model_state, batch["image"], cfg=cfg,
-                masks=masks, train=True, dropout_rng=dropout_rng)
+                masks=masks, train=True, dropout_rng=dropout_rng, mesh=mesh)
             loss, metrics = _compute_loss(out, batch, task, triplet_rng)
             return loss, (metrics, new_mstate, out)
 
@@ -98,8 +100,8 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     return step
 
 
-def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig
-                   ) -> Callable[[TrainState, dict], dict]:
+def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
+                   mesh=None) -> Callable[[TrainState, dict], dict]:
     """Eval step: running BN stats, no dropout; returns metrics + argmax
     prediction map (for host-side instance/panoptic decoding)."""
 
@@ -109,7 +111,7 @@ def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig
             masks = model.make_attention_masks(
                 ts.rng, batch["image"].shape[0], cfg.img_size)
         out, _ = model.apply(ts.params, ts.model_state, batch["image"],
-                             cfg=cfg, masks=masks, train=False)
+                             cfg=cfg, masks=masks, train=False, mesh=mesh)
         _, metrics = _compute_loss(out, batch, task,
                                    jax.random.fold_in(ts.rng, 1))
         metrics["miou"] = metrics_ops.mean_iou(
