@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     tp.add_argument("--max-epochs", type=int, default=None)
     tp.add_argument("--resume", action="store_true")
     tp.add_argument("--log-every", type=int, default=500)
+    tp.add_argument("--data-fraction", type=float, default=1.0,
+                    help="seeded random train-set fraction (sweep support)")
+    tp.add_argument("--debug-nan", action="store_true",
+                    help="raise on non-finite step metrics")
 
     ep = sub.add_parser("evaluate")
     _add_common(ep)
@@ -85,7 +89,8 @@ def main(argv=None) -> int:
             max_steps=args.max_steps, max_epochs=args.max_epochs,
             mesh=mesh, attn_impl=args.attn_impl,
             compute_dtype=args.compute_dtype, resume=args.resume,
-            log_every=args.log_every)
+            log_every=args.log_every, data_fraction=args.data_fraction,
+            debug_nan=args.debug_nan)
         print(json.dumps({
             "recipe": recipe.name,
             "best_loss": result.best_loss,

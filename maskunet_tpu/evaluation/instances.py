@@ -15,7 +15,12 @@ from maskunet_tpu.evaluation import rle as rle_lib
 
 
 def connected_components(mask: np.ndarray) -> tuple[int, np.ndarray]:
-    """8-connectivity labeling (cv2 default used by the reference)."""
+    """8-connectivity labeling (cv2.connectedComponents semantics). Prefers
+    the native union-find kernel (csrc/maskops.cpp); falls back to cv2."""
+    from maskunet_tpu.utils import native
+
+    if native.available():
+        return native.cc_label(mask)
     import cv2
 
     return cv2.connectedComponents(mask.astype(np.uint8))

@@ -123,9 +123,21 @@ def iou(dt: list[dict], gt: list[dict],
         iscrowd: list[bool] | None = None) -> np.ndarray:
     """Pairwise IoU matrix [len(dt), len(gt)], COCOeval semantics: for a
     crowd gt, the union is the detection's area (gt treated as a region
-    detections may freely overlap)."""
+    detections may freely overlap). Uses the native bit-packed popcount
+    kernel (csrc/maskops.cpp) when available; numpy otherwise."""
     if iscrowd is None:
         iscrowd = [False] * len(gt)
+    if not dt or not gt:
+        return np.zeros((len(dt), len(gt)), dtype=np.float64)
+
+    from maskunet_tpu.utils import native
+
+    if native.available():
+        dt_dense = np.stack([decode(d) for d in dt])
+        gt_dense = np.stack([decode(g) for g in gt])
+        return native.mask_iou(dt_dense, gt_dense,
+                               np.asarray(iscrowd, np.uint8))
+
     out = np.zeros((len(dt), len(gt)), dtype=np.float64)
     dt_masks = [np.packbits(decode(d).ravel(order="F")) for d in dt]
     gt_masks = [np.packbits(decode(g).ravel(order="F")) for g in gt]

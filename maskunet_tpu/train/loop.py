@@ -63,8 +63,14 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           mesh=None, attn_impl: str = "auto",
           compute_dtype: str = "float32", resume: bool = False,
           log_every: int = 500, ckpt_every: int = 2000,
-          num_io_threads: int = 4, verbose: bool = True) -> TrainResult:
+          num_io_threads: int = 4, verbose: bool = True,
+          data_fraction: float = 1.0,
+          debug_nan: bool = False) -> TrainResult:
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
+    if data_fraction < 1.0:
+        from maskunet_tpu.data.subset import FractionSubset
+        train_ds = FractionSubset(train_ds, data_fraction,
+                                  seed=recipe.seed)
     cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
                        compute_dtype=compute_dtype)
     tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
@@ -111,6 +117,9 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             meter.step(recipe.batch_size)
             loss = float(metrics["loss"])
             iou = float(metrics["miou"])
+            if debug_nan:
+                from maskunet_tpu.utils.profiling import nan_guard
+                nan_guard(metrics, f"step {steps_done}")
             total_loss += loss
             total_iou += iou
             count += 1

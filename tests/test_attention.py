@@ -88,3 +88,34 @@ def test_mask_generation_stats():
     mask = attention.random_key_mask(jax.random.key(0), 4, 4096)
     frac = float(jnp.mean(mask))
     assert 0.45 < frac < 0.55
+
+
+def test_flash_compaction_matches_dense(monkeypatch):
+    """K/V compaction (visible keys only) is numerically exact vs dense."""
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    params, tokens, mask = _setup(b=2, l=512, c=64)
+    dense = attention.masked_attention_dense(params, tokens, mask)
+    flash = fa.masked_attention_flash(params, tokens, mask)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_compaction_grads(monkeypatch):
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    params, tokens, mask = _setup(b=1, l=512, c=64)
+
+    gd = jax.grad(lambda t: jnp.sum(jnp.square(
+        attention.masked_attention_dense(params, t, mask))))(tokens)
+    gf = jax.grad(lambda t: jnp.sum(jnp.square(
+        fa.masked_attention_flash(params, t, mask))))(tokens)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_key_capacity():
+    from maskunet_tpu.ops.flash_attention import _key_capacity
+    assert _key_capacity(16384) % 512 == 0
+    assert 16384 // 2 < _key_capacity(16384) <= 16384 // 2 + 1536
+    assert _key_capacity(4096) <= 4096
