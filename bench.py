@@ -40,6 +40,8 @@ def estimate_a100_baseline() -> float:
 
 def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
           compute_dtype: str = "bfloat16"):
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -61,6 +61,22 @@ def main(argv=None) -> int:
     ep.add_argument("--max-queries", type=int, nargs="+",
                     default=[50, 100, 150, 200])
 
+    vp = sub.add_parser("visualize", help="save sample + prediction panels")
+    _add_common(vp)
+    vp.add_argument("--tag", default="best", choices=["best", "latest"])
+    vp.add_argument("--index", type=int, default=0)
+    vp.add_argument("--out", default="viz")
+
+    pp = sub.add_parser("predict",
+                        help="batch inference over a directory of images")
+    _add_common(pp)
+    pp.add_argument("--tag", default="best", choices=["best", "latest"])
+    pp.add_argument("--images", required=True)
+    pp.add_argument("--out", default="predictions")
+    pp.add_argument("--num-classes", type=int, default=None,
+                    help="override when no dataset root is given")
+    pp.add_argument("--panels", action="store_true")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "recipes":
@@ -73,6 +89,9 @@ def main(argv=None) -> int:
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
 
     from maskunet_tpu.tasks import recipes as recipes_lib
     recipe = recipes_lib.get(args.recipe)
@@ -136,6 +155,73 @@ def main(argv=None) -> int:
                 recipe, args.data_root, ts,
                 max_batches=args.max_batches, attn_impl=args.attn_impl)
             print(json.dumps({"recipe": recipe.name, **out}))
+        return 0
+
+    if args.cmd == "visualize":
+        import os
+
+        import numpy as np
+        import optax
+
+        from maskunet_tpu.core import checkpoint as ckpt_lib
+        from maskunet_tpu.data import pipeline
+        from maskunet_tpu.tasks.datasets import make_datasets
+        from maskunet_tpu.train import loop, step as step_lib
+        from maskunet_tpu.utils import visualize
+        import jax
+
+        _, val_ds, num_classes = make_datasets(recipe, args.data_root)
+        cfg = loop.model_config(recipe, num_classes,
+                                attn_impl=args.attn_impl,
+                                compute_dtype=args.compute_dtype)
+        tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+        ts = loop.setup_state(recipe, cfg, tx)
+        manager = ckpt_lib.CheckpointManager(args.workdir,
+                                             recipe.checkpoint_name)
+        if manager.has(args.tag):
+            ts = manager.restore(ts, args.tag)
+        os.makedirs(args.out, exist_ok=True)
+        example = val_ds[args.index]
+        visualize.save_sample(example, os.path.join(args.out, "sample.png"))
+        eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+        batch = pipeline.to_device(
+            {k: np.repeat(v[None], recipe.batch_size, axis=0)
+             for k, v in example.items()})
+        result = eval_step(ts, batch)
+        visualize.save_prediction(
+            example["image"], example["label"],
+            np.asarray(result["pred"])[0],
+            os.path.join(args.out, "prediction.png"))
+        print(json.dumps({"saved": [os.path.join(args.out, "sample.png"),
+                                    os.path.join(args.out,
+                                                 "prediction.png")]}))
+        return 0
+
+    if args.cmd == "predict":
+        import optax
+
+        from maskunet_tpu.core import checkpoint as ckpt_lib
+        from maskunet_tpu.tasks import predict as predict_lib
+        from maskunet_tpu.train import loop
+
+        if args.num_classes is not None:
+            num_classes = args.num_classes
+        else:
+            from maskunet_tpu.tasks.datasets import make_datasets
+            _, _, num_classes = make_datasets(recipe, args.data_root)
+        cfg = loop.model_config(recipe, num_classes,
+                                attn_impl=args.attn_impl,
+                                compute_dtype=args.compute_dtype)
+        tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+        ts = loop.setup_state(recipe, cfg, tx)
+        manager = ckpt_lib.CheckpointManager(args.workdir,
+                                             recipe.checkpoint_name)
+        ts = manager.restore(ts, args.tag)
+        written = predict_lib.predict_directory(
+            recipe, ts, args.images, args.out, num_classes=num_classes,
+            attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
+            save_panels=args.panels)
+        print(json.dumps({"written": len(written), "out": args.out}))
         return 0
 
     return 1

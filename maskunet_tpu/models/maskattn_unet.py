@@ -51,6 +51,9 @@ class MaskAttnUNetConfig:
     dropout_rate: float = 0.3
     attn_impl: str = "auto"     # 'dense' | 'flash' | 'auto'
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16'
+    remat_attention: bool = False    # jax.checkpoint the attention blocks
+                                     # (recompute in backward; trades FLOPs
+                                     # for HBM at large batch)
 
     @property
     def multi_head_output(self) -> bool:
@@ -238,8 +241,11 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
     def attn(i, h):
-        return attention.spatial_attention(
-            params[f"attn{i}"], h, masks[i - 1], impl=impl)
+        fn = lambda p, x_, m: attention.spatial_attention(  # noqa: E731
+            p, x_, m, impl=impl)
+        if cfg.remat_attention and train:
+            fn = jax.checkpoint(fn)
+        return fn(params[f"attn{i}"], h, masks[i - 1])
 
     x1, new_state["initial"] = _convblock(
         params["initial"], state["initial"], x, train=train, residual=False)

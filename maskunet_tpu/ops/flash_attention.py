@@ -42,8 +42,16 @@ def _interpret_mode() -> bool:
     return _INTERPRET
 
 
+import os
+
+_BQ_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BQ", "512"))
+_BK_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BK", "512"))
+
+
 def _block_sizes(lq: int, lk: int) -> tuple[int, int]:
-    return min(lq, 512), min(lk, 512)
+    bq = _BQ_DEFAULT if lq % _BQ_DEFAULT == 0 else 512
+    bk = _BK_DEFAULT if lk % _BK_DEFAULT == 0 else 512
+    return min(lq, bq), min(lk, bk)
 
 
 # ---------------------------------------------------------------------------

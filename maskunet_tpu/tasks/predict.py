@@ -1,0 +1,83 @@
+"""Batch inference: run a trained checkpoint over a directory of images.
+
+The serving-shaped capability the reference lacks entirely (its only
+inference path is the validation loop inside each training script).
+Streams images through the host pipeline in fixed-size batches (padding
+the tail), runs the jitted eval step on device, and writes one class-id
+PNG per input plus an optional color panel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from maskunet_tpu.data import pipeline, resize as resize_lib
+from maskunet_tpu.tasks.recipes import Recipe
+from maskunet_tpu.train import loop as loop_lib
+from maskunet_tpu.train import step as step_lib
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+class _DirectoryDataset:
+    def __init__(self, directory: str, img_size: int):
+        self.files = sorted(
+            f for f in os.listdir(directory)
+            if f.lower().endswith(_IMG_EXTS))
+        if not self.files:
+            raise FileNotFoundError(f"no images in {directory}")
+        self.directory = directory
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        img = resize_lib.imread_rgb(
+            os.path.join(self.directory, self.files[idx]))
+        return {"image": resize_lib.resize_image(img, self.img_size),
+                "label": np.zeros((self.img_size, self.img_size), np.int32)}
+
+
+def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
+                      num_classes: int, attn_impl: str = "auto",
+                      compute_dtype: str = "float32",
+                      save_panels: bool = False) -> list[str]:
+    """Returns the list of written mask paths."""
+    import cv2
+    import jax
+
+    cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
+                                compute_dtype=compute_dtype)
+    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+    ds = _DirectoryDataset(images_dir, recipe.img_size)
+    batches = pipeline.BatchIterator(ds, recipe.batch_size, shuffle=False,
+                                     drop_last=False, pad_last=True)
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+    file_iter = iter(ds.files)
+    for batch in batches.epoch(0):
+        valid = batch.pop("valid")
+        result = eval_step(ts, pipeline.to_device(batch))
+        preds = np.asarray(result["pred"]).astype(np.uint8)
+        for i in range(preds.shape[0]):
+            if not valid[i]:
+                continue
+            name = next(file_iter)
+            base = os.path.splitext(name)[0]
+            mask_path = os.path.join(out_dir, base + "_mask.png")
+            cv2.imwrite(mask_path, preds[i])
+            written.append(mask_path)
+            if save_panels:
+                from maskunet_tpu.utils import visualize
+                visualize.save_prediction(
+                    batch["image"][i], np.zeros_like(preds[i]), preds[i],
+                    os.path.join(out_dir, base + "_panel.png"))
+    manifest = os.path.join(out_dir, "predictions.json")
+    with open(manifest, "w") as f:
+        json.dump({"files": written, "num_classes": num_classes,
+                   "img_size": recipe.img_size}, f)
+    return written

@@ -51,7 +51,9 @@ def _compute_loss(out: model.ModelOutput, batch: dict, task: TaskConfig,
     ce = cross_entropy(logits, batch["label"], task.ignore_index)
     loss = task.ce_weight * ce
     metrics = {"ce_loss": ce}
-    if task.triplet_weight > 0.0:
+    # triplet term requires instance labels; inference batches (predict
+    # path) carry none — CE-only loss there
+    if task.triplet_weight > 0.0 and "instance" in batch:
         feats = (out.embeddings if task.triplet_features == "embeddings"
                  else logits)
         tri = instance_triplet_loss(
