@@ -60,6 +60,9 @@ def main(argv=None) -> int:
                          "max_queries sweep; panoptic: AP+PQ+mIoU")
     ep.add_argument("--max-queries", type=int, nargs="+",
                     default=[50, 100, 150, 200])
+    ep.add_argument("--export-dir", default=None,
+                    help="panoptic mode: write id2rgb prediction PNGs + "
+                         "predictions.json here")
 
     vp = sub.add_parser("visualize", help="save sample + prediction panels")
     _add_common(vp)
@@ -153,7 +156,8 @@ def main(argv=None) -> int:
             from maskunet_tpu.tasks import evaluators
             out = evaluators.evaluate_panoptic(
                 recipe, args.data_root, ts,
-                max_batches=args.max_batches, attn_impl=args.attn_impl)
+                max_batches=args.max_batches, attn_impl=args.attn_impl,
+                export_dir=args.export_dir)
             print(json.dumps({"recipe": recipe.name, **out}))
         return 0
 

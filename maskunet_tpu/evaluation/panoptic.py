@@ -154,6 +154,45 @@ def pq_compute(images: list[tuple[np.ndarray, list[dict],
     return pq_summarize(stats, things)
 
 
+def save_panoptic_predictions(predictions: list[tuple[int, np.ndarray,
+                                                      list[dict]]],
+                              out_dir: str,
+                              json_name: str = "predictions.json") -> str:
+    """Write panoptic predictions to disk in the panopticapi layout
+    (per-image id2rgb PNG + a predictions json) — the export path of the
+    reference's `save_predictions` (coco_panoptic.py:388-425), with real
+    segments_info instead of its empty lists.
+
+    predictions: (image_id, panoptic_id_map, segments_info) tuples.
+    Returns the json path.
+    """
+    import json
+    import os
+
+    import cv2
+
+    from maskunet_tpu.data.coco import id2rgb
+
+    os.makedirs(out_dir, exist_ok=True)
+    annotations = []
+    for image_id, pan_map, segments in predictions:
+        file_name = f"{image_id:012d}.png"
+        rgb = id2rgb(pan_map.astype(np.int64))
+        cv2.imwrite(os.path.join(out_dir, file_name),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        annotations.append({
+            "image_id": int(image_id),
+            "file_name": file_name,
+            "segments_info": [
+                {"id": int(s["id"]), "category_id": int(s["category_id"])}
+                for s in segments],
+        })
+    json_path = os.path.join(out_dir, json_name)
+    with open(json_path, "w") as f:
+        json.dump({"annotations": annotations}, f)
+    return json_path
+
+
 def semantic_to_panoptic(sem_map: np.ndarray,
                          inst_map: np.ndarray | None = None,
                          things: set[int] | None = None

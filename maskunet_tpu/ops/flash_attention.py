@@ -319,11 +319,18 @@ def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array
     """
     b, l, c = k.shape
     cap = _key_capacity(l)
-    order = jnp.argsort(jnp.logical_not(key_mask), axis=1, stable=True)
-    idx = order[:, :cap]                                    # visible first
+    # stable partition via cumsum + scatter (argsort is a multi-pass
+    # bitonic network on TPU — this is one cumsum and one scatter)
+    ones = key_mask.astype(jnp.int32)
+    pos = jnp.cumsum(ones, axis=1) - 1            # target slot if kept
+    slot = jnp.where(key_mask, jnp.minimum(pos, cap), cap)  # drop -> bucket
+    src = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None], (b, l))
+    idx = jnp.zeros((b, cap + 1), jnp.int32)
+    idx = idx.at[jnp.arange(b)[:, None], slot].set(src)[:, :cap]
     k_c = jnp.take_along_axis(k, idx[..., None], axis=1)
     v_c = jnp.take_along_axis(v, idx[..., None], axis=1)
-    valid = jnp.take_along_axis(key_mask, idx, axis=1)
+    count = jnp.minimum(jnp.sum(ones, axis=1, keepdims=True), cap)
+    valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < count
     return k_c, v_c, valid
 
 

@@ -110,7 +110,8 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
 def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
                       things: set[int] | None = None,
                       max_batches: int | None = None,
-                      attn_impl: str = "auto") -> dict:
+                      attn_impl: str = "auto",
+                      export_dir: str | None = None) -> dict:
     """AP (segm, iouThrs 0.5:0.95) + PQ All/Things/Stuff + mean IoU —
     the tuple the reference prints (ade_panoptic.py:588-592)."""
     gts: list[dict] = []
@@ -144,6 +145,11 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
                 pred, None, things=things)
             pq_images.append((gt_pan, gt_segs, pred_pan, pred_segs))
 
+    if export_dir is not None:
+        panoptic.save_panoptic_predictions(
+            [(i, pred_pan, pred_segs)
+             for i, (_, _, pred_pan, pred_segs) in enumerate(pq_images)],
+            export_dir)
     ap_stats = coco_eval.evaluate_ap(gts, dts)
     pq_stats = panoptic.pq_compute(pq_images, things=things)
     return {

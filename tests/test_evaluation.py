@@ -247,3 +247,21 @@ def test_instances_from_embeddings():
     assert sizes == [128, 128]
     anns = clustering.annotate_instances(masks, sem)
     assert all(a["category_id"] == 1 for a in anns)
+
+
+def test_save_panoptic_predictions(tmp_path):
+    import json
+    import os
+
+    pan = np.zeros((16, 16), np.int64)
+    pan[:8] = 7
+    segs = [{"id": 7, "category_id": 3}]
+    out = panoptic.save_panoptic_predictions([(5, pan, segs)], str(tmp_path))
+    with open(out) as f:
+        data = json.load(f)
+    assert data["annotations"][0]["image_id"] == 5
+    png = os.path.join(str(tmp_path), data["annotations"][0]["file_name"])
+    import cv2
+    from maskunet_tpu.data.coco import rgb2id
+    rgb = cv2.cvtColor(cv2.imread(png), cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(rgb2id(rgb), pan)
