@@ -49,6 +49,13 @@ def main(argv=None) -> int:
                     help="seeded random train-set fraction (sweep support)")
     tp.add_argument("--debug-nan", action="store_true",
                     help="raise on non-finite step metrics")
+    tp.add_argument("--eval-every", type=int, default=None,
+                    help="run validation every N epochs (logged as val_*)")
+    tp.add_argument("--init-from", default=None,
+                    help="warm-start params from another run's checkpoint")
+    tp.add_argument("--init-drop", nargs="*", default=[],
+                    help="param path prefixes to keep fresh (e.g. "
+                         "final_conv final_bn for a head swap)")
 
     ep = sub.add_parser("evaluate")
     _add_common(ep)
@@ -58,8 +65,8 @@ def main(argv=None) -> int:
                     choices=["semantic", "instances", "panoptic"],
                     help="semantic: loss+mIoU; instances: AP with "
                          "max_queries sweep; panoptic: AP+PQ+mIoU")
-    ep.add_argument("--max-queries", type=int, nargs="+",
-                    default=[50, 100, 150, 200])
+    ep.add_argument("--max-queries", type=int, nargs="+", default=None,
+                    help="default: the recipe's reference sweep")
     ep.add_argument("--export-dir", default=None,
                     help="panoptic mode: write id2rgb prediction PNGs + "
                          "predictions.json here")
@@ -112,7 +119,8 @@ def main(argv=None) -> int:
             mesh=mesh, attn_impl=args.attn_impl,
             compute_dtype=args.compute_dtype, resume=args.resume,
             log_every=args.log_every, data_fraction=args.data_fraction,
-            debug_nan=args.debug_nan)
+            debug_nan=args.debug_nan, eval_every=args.eval_every,
+            init_from=args.init_from, init_drop=tuple(args.init_drop))
         print(json.dumps({
             "recipe": recipe.name,
             "best_loss": result.best_loss,
@@ -147,7 +155,8 @@ def main(argv=None) -> int:
             from maskunet_tpu.tasks import evaluators
             results = evaluators.evaluate_instances(
                 recipe, args.data_root, ts,
-                max_queries=tuple(args.max_queries),
+                max_queries=(tuple(args.max_queries)
+                             if args.max_queries else None),
                 max_batches=args.max_batches, attn_impl=args.attn_impl)
             print(json.dumps({"recipe": recipe.name,
                               "instances": {str(k): v for k, v in

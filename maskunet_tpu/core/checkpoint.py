@@ -62,6 +62,13 @@ def restore(path: str, template: Any) -> Any:
     return _rekey(template, raw)
 
 
+def restore_raw(path: str) -> dict:
+    """Deserialize without a template: nested dict of arrays (for
+    cross-model transfer where structures differ)."""
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
 def _flatten(tree: Any, prefix: tuple = ()) -> dict:
     out = {}
     if isinstance(tree, dict):

@@ -44,14 +44,36 @@ def _interpret_mode() -> bool:
 
 import os
 
-_BQ_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BQ", "512"))
-_BK_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BK", "512"))
+# Tuned on TPU v5e (tools/attn_microbench.py sweep): BQ=2048/BK=1024 runs
+# the 16,384-token layer forward at 41.6 TF/s vs 24.5 at 512/512 (fewer
+# online-softmax rescale passes, larger MXU tiles); BK=2048 regresses
+# (VMEM pressure). The backward kernels hold more [BQ, BK] temporaries
+# (s, p, dp, ds) and OOM scoped VMEM at BQ=2048, so they run at
+# 1024/1024 (measured equal to 2048/1024 there). Env knobs override.
+_BQ_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BQ", "2048"))
+_BK_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BK", "1024"))
+_BQ_BWD = int(os.environ.get("MASKUNET_FLASH_BQ_BWD", "1024"))
+_BK_BWD = int(os.environ.get("MASKUNET_FLASH_BK_BWD", "1024"))
 
 
-def _block_sizes(lq: int, lk: int) -> tuple[int, int]:
-    bq = _BQ_DEFAULT if lq % _BQ_DEFAULT == 0 else 512
-    bk = _BK_DEFAULT if lk % _BK_DEFAULT == 0 else 512
-    return min(lq, bq), min(lk, bk)
+def _pick_block(l: int, preferred: int) -> int:
+    for b in (preferred, 2048, 1024, 512, 256, 128):
+        if b <= l and l % b == 0:
+            return b
+    return l
+
+
+def _block_sizes(lq: int, lk: int, dtype, *,
+                 bwd: bool = False) -> tuple[int, int]:
+    if bwd:
+        return _pick_block(lq, _BQ_BWD), _pick_block(lk, _BK_BWD)
+    bq = _BQ_DEFAULT
+    if dtype == jnp.float32 and bq > 1024:
+        # f32 q/k/v/o blocks + the f32 [BQ, BK] score/prob temporaries
+        # exceed the 16 MB scoped-VMEM budget at BQ=2048 (measured
+        # 21.7 MB); bf16 inputs fit.
+        bq = 1024
+    return _pick_block(lq, bq), _pick_block(lk, _BK_DEFAULT)
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +124,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 def _flash_fwd(q, k, v, bias, scale):
     b, lq, c = q.shape
     lk = k.shape[1]
-    bq, bk = _block_sizes(lq, lk)
+    bq, bk = _block_sizes(lq, lk, q.dtype)
     nq, nk = lq // bq, lk // bk
     grid = (b, nq, nk)
     out, lse = pl.pallas_call(
@@ -206,7 +228,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd(q, k, v, bias, o, lse, do, scale):
     b, lq, c = q.shape
     lk = k.shape[1]
-    bq, bk = _block_sizes(lq, lk)
+    bq, bk = _block_sizes(lq, lk, q.dtype, bwd=True)
     nq, nk = lq // bq, lk // bk
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=False)[:, None, :]      # [B, 1, L]

@@ -63,13 +63,15 @@ def evaluate_semantic(recipe: Recipe, data_root: str | None, ts,
 
 
 def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
-                       max_queries: tuple[int, ...] = (50, 100, 150, 200),
+                       max_queries: tuple[int, ...] | None = None,
                        use_embeddings: bool | None = None,
                        max_batches: int | None = None,
                        attn_impl: str = "auto") -> dict[int, dict]:
     """Instance AP with the reference's max_queries sweep
     (ade_instance.py:451-457: 50/100/150/200; city_instance.py:510:
     30/50/70/100). Returns {max_queries: summarize() stats}."""
+    if max_queries is None:
+        max_queries = recipe.eval_max_queries
     if use_embeddings is None:
         use_embeddings = recipe.embed_dim > 0
     gts: list[dict] = []

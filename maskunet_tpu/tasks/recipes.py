@@ -34,6 +34,9 @@ class Recipe:
     overfit_margin: float = 0.1
     checkpoint_name: str = "checkpoint"
     seed: int = 42
+    # reference max_queries sweeps: 50/100/150/200 (ade_instance.py:451),
+    # 30/50/70/100 for cityscapes (city_instance.py:510)
+    eval_max_queries: tuple[int, ...] = (50, 100, 150, 200)
 
 
 _R = Recipe
@@ -57,7 +60,8 @@ RECIPES: dict[str, Recipe] = {r.name: r for r in [
        TaskConfig(ignore_index=255, triplet_weight=0.5,
                   triplet_features="embeddings", triplet_ignore_label=255),
        num_classes=19, embed_dim=16, with_boundary_head=True,
-       checkpoint_name="checkpoint_cityscapes_inst"),
+       checkpoint_name="checkpoint_cityscapes_inst",
+       eval_max_queries=(30, 50, 70, 100)),
     # city_panoptic.py:17,479-480,501,511 (the reference's early-stop path
     # writes checkpoint_ade_pan.pth — a copy-paste bug we do not reproduce)
     _R("city_panoptic", "cityscapes", "panoptic", 1, 1e-2, 1e-4,

@@ -65,7 +65,10 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           log_every: int = 500, ckpt_every: int = 2000,
           num_io_threads: int = 4, verbose: bool = True,
           data_fraction: float = 1.0,
-          debug_nan: bool = False) -> TrainResult:
+          debug_nan: bool = False,
+          eval_every: int | None = None,
+          init_from: str | None = None,
+          init_drop: tuple[str, ...] = ()) -> TrainResult:
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
     if data_fraction < 1.0:
         from maskunet_tpu.data.subset import FractionSubset
@@ -75,6 +78,19 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                        compute_dtype=compute_dtype)
     tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
     ts = setup_state(recipe, cfg, tx)
+
+    if init_from is not None:
+        # cross-task warm start (city_semantic.py:331-338 capability):
+        # merge matching leaves from another run's checkpoint; `init_drop`
+        # prefixes and shape mismatches keep the fresh init
+        donor = ckpt_lib.restore_raw(init_from)
+        merged, skipped = ckpt_lib.transfer_params(
+            jax.device_get(ts.params), donor["params"],
+            drop_prefixes=init_drop)
+        ts = ts.replace(params=jax.device_put(merged))
+        if verbose:
+            print(f"warm start from {init_from}; "
+                  f"{len(skipped)} leaves kept fresh")
 
     manager = ckpt_lib.CheckpointManager(workdir, recipe.checkpoint_name)
     if resume and manager.has("latest"):
@@ -141,6 +157,12 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         record = {"epoch": epoch + 1, "loss": avg_loss, "miou": avg_iou,
                   "step": steps_done,
                   "images_per_sec": round(meter.images_per_sec(), 2)}
+        if eval_every and (epoch + 1) % eval_every == 0:
+            # periodic in-training validation (the reference's
+            # coco_instance in-loop eval pattern, coco_instance.py:345-367)
+            val = _evaluate_state(recipe, cfg, ts, val_ds,
+                                  sharding=sharding, max_batches=8)
+            record.update({f"val_{k}": v for k, v in val.items()})
         history.append(record)
         logger.log(record)
         if verbose:
@@ -165,18 +187,11 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                        meter.images_per_sec())
 
 
-def evaluate(recipe: Recipe, data_root: str | None, ts: state_lib.TrainState,
-             *, mesh=None, attn_impl: str = "auto",
-             compute_dtype: str = "float32",
-             max_batches: int | None = None) -> dict[str, float]:
-    """Validation pass: loss + mIoU with running BN stats
-    (ade_semantic.py:439-474 — minus its epoch-loop re-running bug)."""
-    _, val_ds, num_classes = make_datasets(recipe, data_root)
-    cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
-                       compute_dtype=compute_dtype)
-    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config, mesh=mesh))
-    sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
-
+def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
+                    mesh=None, max_batches: int | None = None
+                    ) -> dict[str, float]:
+    eval_step = jax.jit(
+        step_lib.make_eval_step(cfg, recipe.task_config, mesh=mesh))
     batches = pipeline.BatchIterator(
         val_ds, recipe.batch_size, shuffle=False, drop_last=True)
     total: dict[str, float] = {}
@@ -191,3 +206,17 @@ def evaluate(recipe: Recipe, data_root: str | None, ts: state_lib.TrainState,
         if max_batches is not None and i + 1 >= max_batches:
             break
     return {k: v / max(count, 1) for k, v in total.items()}
+
+
+def evaluate(recipe: Recipe, data_root: str | None, ts: state_lib.TrainState,
+             *, mesh=None, attn_impl: str = "auto",
+             compute_dtype: str = "float32",
+             max_batches: int | None = None) -> dict[str, float]:
+    """Validation pass: loss + mIoU with running BN stats
+    (ade_semantic.py:439-474 — minus its epoch-loop re-running bug)."""
+    _, val_ds, num_classes = make_datasets(recipe, data_root)
+    cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
+                       compute_dtype=compute_dtype)
+    sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+    return _evaluate_state(recipe, cfg, ts, val_ds, sharding=sharding,
+                           mesh=mesh, max_batches=max_batches)

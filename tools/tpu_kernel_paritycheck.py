@@ -1,0 +1,84 @@
+"""On-device parity check: compiled Pallas kernels vs dense XLA attention.
+
+The pytest suite exercises the flash kernels in interpreter mode on CPU;
+this tool asserts the *Mosaic-compiled* kernels on a real TPU produce the
+same numbers (fwd + grads), catching compiled-only issues (tiling,
+revisiting, scratch carry bugs).
+
+Notes from bring-up:
+- default ("fastest") matmul precision decomposes f32 into bf16 MXU
+  passes and the dense-XLA vs Pallas paths round differently (~3e-4 fwd
+  deltas); float32 precision isolates real kernel bugs from that shared
+  approximation (fwd deltas drop to ~1e-6).
+- the loss must be well-conditioned: sum(LN(out)^2) is nearly invariant
+  to the input (grads ~1e-4 scale) and turns 1e-6 absolute noise into
+  misleading relative numbers — use a random-projection loss instead.
+- the dense reference materializes L x L scores, so the largest layer
+  checked against dense is 4096 tokens (16384 dense blows up the compile
+  helper); the 16 k layer's accumulation paths are identical code.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
+    jax.config.update("jax_default_matmul_precision", "float32")
+    from maskunet_tpu.ops import attention, flash_attention
+
+    assert jax.default_backend() == "tpu", "needs the real TPU"
+    failures = 0
+    for l, c, b in [(1024, 64, 2), (2048, 64, 2), (4096, 64, 2),
+                    (4096, 128, 2)]:
+        params = attention.attention_init(jax.random.key(0), c)
+        tokens = jax.random.normal(jax.random.key(1), (b, l, c), jnp.float32)
+        mask = attention.random_key_mask(jax.random.key(2), b, l)
+        w = jax.random.normal(jax.random.key(3), (c,))
+
+        def loss(fn):
+            return lambda t: jnp.sum(fn(params, t, mask) * w)
+
+        dense_fn = attention.masked_attention_dense
+        flash_fn = flash_attention.masked_attention_flash
+
+        def run(f, *a, attempts=3):
+            # the tunnel's remote-compile helper is occasionally flaky
+            for i in range(attempts):
+                try:
+                    return f(*a)
+                except Exception as e:  # noqa: BLE001
+                    if i == attempts - 1:
+                        raise
+                    print(f"  retry after compile error: {e}",
+                          file=sys.stderr)
+
+        dense = run(jax.jit(dense_fn), params, tokens, mask)
+        flash = run(jax.jit(flash_fn), params, tokens, mask)
+        fwd_err = float(jnp.max(jnp.abs(dense - flash)))
+
+        gd = run(jax.jit(jax.grad(loss(dense_fn))), tokens)
+        gf = run(jax.jit(jax.grad(loss(flash_fn))), tokens)
+        gscale = float(jnp.max(jnp.abs(gd)))
+        grad_err = float(jnp.max(jnp.abs(gd - gf)))
+
+        ok = fwd_err < 1e-4 and grad_err < 1e-4 * (1.0 + gscale)
+        failures += not ok
+        print(f"L={l:6d} C={c:4d}: fwd max|Δ| {fwd_err:.2e} "
+              f"grad max|Δ| {grad_err:.2e} (scale {gscale:.2e}) "
+              f"{'OK' if ok else 'FAIL'}")
+    if failures:
+        raise SystemExit(f"{failures} parity failures")
+    print("all compiled-kernel parity checks passed")
+
+
+if __name__ == "__main__":
+    main()
