@@ -14,16 +14,16 @@ import jax.numpy as jnp
 def cross_entropy(logits: jax.Array, labels: jax.Array,
                   ignore_index: int | None = None) -> jax.Array:
     """logits: [..., C] float; labels: [...] int. Mean NLL over pixels whose
-    label != ignore_index (torch 'mean' reduction semantics)."""
+    label != ignore_index (torch 'mean' reduction semantics). Negative
+    labels are always ignored (used to mask padded eval rows)."""
     logits = logits.astype(jnp.float32)
-    safe_labels = labels
+    keep = labels >= 0
     if ignore_index is not None:
-        safe_labels = jnp.where(labels == ignore_index, 0, labels)
+        keep &= labels != ignore_index
+    safe_labels = jnp.where(keep, labels, 0)
     logz = jax.nn.logsumexp(logits, axis=-1)
     picked = jnp.take_along_axis(logits, safe_labels[..., None],
                                  axis=-1)[..., 0]
     nll = logz - picked
-    if ignore_index is None:
-        return jnp.mean(nll)
-    mask = (labels != ignore_index).astype(jnp.float32)
+    mask = keep.astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -37,10 +37,9 @@ def iou_counts(pred: jax.Array, labels: jax.Array, num_classes: int,
     pred = pred.reshape(-1)
     labels = labels.reshape(-1)
     eq = pred == labels
+    keep = labels >= 0   # negative labels = padded eval rows, always out
     if ignore_index is not None:
-        keep = labels != ignore_index
-    else:
-        keep = jnp.ones_like(labels, dtype=bool)
+        keep &= labels != ignore_index
     inter = jnp.bincount(jnp.where(eq & keep, pred, num_classes),
                          length=num_classes + 1)[:num_classes]
     pred_count = jnp.bincount(jnp.where(keep, pred, num_classes),

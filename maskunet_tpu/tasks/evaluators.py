@@ -38,15 +38,16 @@ def _iter_eval(recipe: Recipe, data_root: str | None, ts, *,
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl)
     eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
     batches = pipeline.BatchIterator(val_ds, recipe.batch_size,
-                                     shuffle=False, drop_last=True)
+                                     shuffle=False, drop_last=False,
+                                     pad_last=True)
     for i, batch in enumerate(batches.epoch(0)):
-        batch.pop("valid", None)
         dev_batch = pipeline.to_device(batch)
         result = eval_step(ts, dev_batch)
         host = {
             "pred": np.asarray(result["pred"]),
             "prob": np.asarray(result["prob"]),
             "label": np.asarray(batch["label"]),
+            "valid": np.asarray(batch["valid"]),
         }
         if "instance" in batch:
             host["instance"] = np.asarray(batch["instance"])
@@ -80,6 +81,8 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
             recipe, data_root, ts, attn_impl=attn_impl,
             max_batches=max_batches):
         for b in range(host["pred"].shape[0]):
+            if not host["valid"][b]:
+                continue
             img_id = base_id + b
             pred, prob = host["pred"][b], host["prob"][b]
             if use_embeddings and "embeddings" in host:
@@ -124,6 +127,8 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
             recipe, data_root, ts, attn_impl=attn_impl,
             max_batches=max_batches):
         for b in range(host["pred"].shape[0]):
+            if not host["valid"][b]:
+                continue
             img_id = base_id + b
             pred, label = host["pred"][b], host["label"][b]
             # per-image IoU (compute_iou_for_image, ade_panoptic.py:182-192)

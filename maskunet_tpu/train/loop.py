@@ -192,20 +192,24 @@ def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
                     ) -> dict[str, float]:
     eval_step = jax.jit(
         step_lib.make_eval_step(cfg, recipe.task_config, mesh=mesh))
+    # pad_last so validation sets smaller than a batch still evaluate
+    # (padded rows are metric-masked in the eval step)
     batches = pipeline.BatchIterator(
-        val_ds, recipe.batch_size, shuffle=False, drop_last=True)
+        val_ds, recipe.batch_size, shuffle=False, drop_last=False,
+        pad_last=True)
     total: dict[str, float] = {}
     count = 0
     for i, batch in enumerate(pipeline.Prefetcher(
             batches.epoch(0), sharding=sharding)):
-        batch.pop("valid", None)
         result = eval_step(ts, batch)
         for k, v in result["metrics"].items():
             total[k] = total.get(k, 0.0) + float(v)
         count += 1
         if max_batches is not None and i + 1 >= max_batches:
             break
-    return {k: v / max(count, 1) for k, v in total.items()}
+    if count == 0:
+        raise ValueError("validation produced no batches")
+    return {k: v / count for k, v in total.items()}
 
 
 def evaluate(recipe: Recipe, data_root: str | None, ts: state_lib.TrainState,

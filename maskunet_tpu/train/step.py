@@ -112,6 +112,16 @@ def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
         if masks is None:
             masks = model.make_attention_masks(
                 ts.rng, batch["image"].shape[0], cfg.img_size)
+        # padded eval rows (pipeline pad_last) are masked out of every
+        # metric via the negative-label convention
+        valid = batch.get("valid")
+        if valid is not None:
+            batch = dict(batch)
+            batch["label"] = jnp.where(valid[:, None, None],
+                                       batch["label"], -1)
+            if "instance" in batch:
+                batch["instance"] = jnp.where(valid[:, None, None],
+                                              batch["instance"], 0)
         out, _ = model.apply(ts.params, ts.model_state, batch["image"],
                              cfg=cfg, masks=masks, train=False, mesh=mesh)
         _, metrics = _compute_loss(out, batch, task,

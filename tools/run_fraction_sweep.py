@@ -1,0 +1,71 @@
+"""Data-efficiency sweep: train coco_panoptic at 10/25/50/75/100% data.
+
+Reproduces the reference's headline experiment
+(figures/Segmentation_performance.png; BASELINE.md): for each fraction of
+panoptic_train2017, train to early stop and evaluate mIoU / PQ / AP,
+emitting one json line per fraction to <workdir>/sweep_results.jsonl.
+
+    python tools/run_fraction_sweep.py --data-root /data/COCO \
+        --workdir runs/sweep [--fractions 0.1 0.25 0.5 0.75 1.0] \
+        [--max-epochs N] [--recipe coco_panoptic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--workdir", default="runs/sweep")
+    ap.add_argument("--recipe", default="coco_panoptic")
+    ap.add_argument("--fractions", type=float, nargs="+",
+                    default=[0.1, 0.25, 0.5, 0.75, 1.0])
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--max-eval-batches", type=int, default=None)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
+    from maskunet_tpu.tasks import evaluators, recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    recipe = recipes_lib.get(args.recipe)
+    os.makedirs(args.workdir, exist_ok=True)
+    results_path = os.path.join(args.workdir, "sweep_results.jsonl")
+    with open(results_path, "a") as out:
+        for frac in args.fractions:
+            workdir = os.path.join(args.workdir, f"frac_{int(frac * 100)}")
+            print(f"=== fraction {frac} -> {workdir} ===")
+            res = loop.train(recipe, args.data_root, workdir,
+                             max_epochs=args.max_epochs,
+                             data_fraction=frac,
+                             compute_dtype=args.compute_dtype,
+                             log_every=0, verbose=True)
+            pan = evaluators.evaluate_panoptic(
+                recipe, args.data_root, res.state,
+                max_batches=args.max_eval_batches)
+            record = {
+                "fraction": frac,
+                "train_loss": res.best_loss,
+                "train_miou": res.best_iou,
+                "images_per_sec": res.images_per_sec,
+                "val_miou": pan["miou"],
+                "pq": pan["pq"]["All"]["pq"],
+                "ap": pan["ap"]["AP"],
+            }
+            out.write(json.dumps(record) + "\n")
+            out.flush()
+            print(json.dumps(record))
+    print(f"sweep complete -> {results_path}")
+
+
+if __name__ == "__main__":
+    main()
