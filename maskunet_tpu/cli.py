@@ -67,6 +67,9 @@ def main(argv=None) -> int:
                          "max_queries sweep; panoptic: AP+PQ+mIoU")
     ep.add_argument("--max-queries", type=int, nargs="+", default=None,
                     help="default: the recipe's reference sweep")
+    ep.add_argument("--split", default="val", choices=["val", "train"],
+                    help="instances mode: evaluate on the train split "
+                         "(the reference's city_instance quirk)")
     ep.add_argument("--export-dir", default=None,
                     help="panoptic mode: write id2rgb prediction PNGs + "
                          "predictions.json here")
@@ -157,7 +160,8 @@ def main(argv=None) -> int:
                 recipe, args.data_root, ts,
                 max_queries=(tuple(args.max_queries)
                              if args.max_queries else None),
-                max_batches=args.max_batches, attn_impl=args.attn_impl)
+                max_batches=args.max_batches, attn_impl=args.attn_impl,
+                split=args.split)
             print(json.dumps({"recipe": recipe.name,
                               "instances": {str(k): v for k, v in
                                             results.items()}}))

@@ -1,0 +1,221 @@
+"""HTTP inference server: batched low-latency mask prediction.
+
+The production-serving layer the reference has no analog of. A stdlib
+ThreadingHTTPServer accepts image uploads and returns class-id mask PNGs;
+requests are micro-batched (collect up to `batch_size` requests or
+`max_wait_ms`, run one jitted forward, fan results back out), so the TPU
+sees full batches under load while single requests stay low-latency.
+
+    python -m maskunet_tpu.serve --recipe ade_semantic --workdir runs/ade \
+        --port 8799 [--num-classes 151]
+
+    curl -s -X POST --data-binary @image.jpg \
+        http://localhost:8799/predict > mask.png
+    curl -s http://localhost:8799/healthz
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class _Batcher:
+    """Micro-batching executor: blocks callers until their result is ready."""
+
+    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 10.0):
+        self._run = run_batch
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def predict(self, image: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((image, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _worker(self) -> None:
+        while True:
+            first = self._q.get()
+            items = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(items) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = np.stack([im for im, _, _ in items])
+            pad = self.batch_size - len(items)
+            if pad:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)])
+            try:
+                preds = self._run(images)
+                for i, (_, slot, done) in enumerate(items):
+                    slot["result"] = np.asarray(preds[i])
+                    done.set()
+            except Exception as e:  # noqa: BLE001
+                for _, slot, done in items:
+                    slot["error"] = repr(e)
+                    done.set()
+
+
+def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
+                       *, attn_impl: str = "auto",
+                       compute_dtype: str = "bfloat16",
+                       batch_size: int | None = None):
+    """Returns (runner(images_uint8 [B,H,W,3]) -> class maps, img_size)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from maskunet_tpu.core import checkpoint as ckpt_lib
+    from maskunet_tpu.models import maskattn_unet as mu
+    from maskunet_tpu.train import loop as loop_lib
+
+    cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
+                                compute_dtype=compute_dtype)
+    tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+    ts = loop_lib.setup_state(recipe, cfg, tx)
+    manager = ckpt_lib.CheckpointManager(workdir, recipe.checkpoint_name)
+    if manager.has(tag):
+        ts = manager.restore(ts, tag)
+
+    # the checkpoint's cached attention masks are sized for the training
+    # batch; slice or regenerate for the serving batch
+    batch = batch_size or recipe.batch_size
+    if ts.masks is not None and ts.masks[0].shape[0] != batch:
+        if ts.masks[0].shape[0] > batch:
+            ts = ts.replace(masks=tuple(m[:batch] for m in ts.masks))
+        else:
+            ts = ts.replace(masks=mu.make_attention_masks(
+                jax.random.key(recipe.seed + 1), batch, cfg.img_size))
+
+    @jax.jit
+    def forward(params, mstate, masks, x):
+        out, _ = mu.apply(params, mstate,
+                          x.astype(jnp.float32) / 255.0, cfg=cfg,
+                          masks=masks, train=False)
+        return jnp.argmax(out.semantic, axis=-1).astype(jnp.uint8)
+
+    def runner(images: np.ndarray) -> np.ndarray:
+        return np.asarray(forward(ts.params, ts.model_state, ts.masks,
+                                  images))
+
+    return runner, cfg.img_size
+
+
+def make_handler(batcher: _Batcher, img_size: int, num_classes: int):
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps({"status": "ok",
+                                   "img_size": img_size,
+                                   "num_classes": num_classes}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            buf = np.frombuffer(data, np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if img is None:
+                self.send_error(400, "could not decode image")
+                return
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            img = cv2.resize(img, (img_size, img_size),
+                             interpolation=cv2.INTER_LINEAR)
+            try:
+                mask = batcher.predict(img)
+            except RuntimeError as e:
+                self.send_error(500, str(e))
+                return
+            ok, png = cv2.imencode(".png", mask)
+            body = png.tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", required=True)
+    ap.add_argument("--workdir", default="runs")
+    ap.add_argument("--tag", default="best")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--num-classes", type=int, default=None)
+    ap.add_argument("--port", type=int, default=8799)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
+    from maskunet_tpu.tasks import recipes as recipes_lib
+
+    recipe = recipes_lib.get(args.recipe)
+    if args.num_classes is not None:
+        num_classes = args.num_classes
+    else:
+        from maskunet_tpu.tasks.datasets import make_datasets
+        _, _, num_classes = make_datasets(recipe, args.data_root)
+    batch = args.batch_size or recipe.batch_size
+
+    runner, img_size = build_model_runner(
+        recipe, num_classes, args.workdir, args.tag,
+        compute_dtype=args.compute_dtype, batch_size=batch)
+    # warm the compile before accepting traffic
+    runner(np.zeros((batch, img_size, img_size, 3), np.uint8))
+    batcher = _Batcher(runner, batch, args.max_wait_ms)
+
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port),
+        make_handler(batcher, img_size, num_classes))
+    print(json.dumps({"serving": args.recipe, "port": args.port,
+                      "batch_size": batch, "img_size": img_size}),
+          flush=True)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

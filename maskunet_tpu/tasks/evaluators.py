@@ -31,10 +31,15 @@ from maskunet_tpu.train import step as step_lib
 
 
 def _iter_eval(recipe: Recipe, data_root: str | None, ts, *,
-               attn_impl: str = "auto", max_batches: int | None = None):
+               attn_impl: str = "auto", max_batches: int | None = None,
+               split: str = "val"):
     """Yields (image_id_base, host dict with pred/prob/label[/instance/
-    embeddings]) per batch."""
-    _, val_ds, num_classes = make_datasets(recipe, data_root)
+    embeddings]) per batch. `split='train'` reproduces the reference
+    quirk of evaluating cityscapes instances on the train loader
+    (city_instance.py:510)."""
+    train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
+    if split == "train":
+        val_ds = train_ds
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl)
     eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
     batches = pipeline.BatchIterator(val_ds, recipe.batch_size,
@@ -67,7 +72,8 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                        max_queries: tuple[int, ...] | None = None,
                        use_embeddings: bool | None = None,
                        max_batches: int | None = None,
-                       attn_impl: str = "auto") -> dict[int, dict]:
+                       attn_impl: str = "auto",
+                       split: str = "val") -> dict[int, dict]:
     """Instance AP with the reference's max_queries sweep
     (ade_instance.py:451-457: 50/100/150/200; city_instance.py:510:
     30/50/70/100). Returns {max_queries: summarize() stats}."""
@@ -79,7 +85,7 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
     dts: list[dict] = []
     for base_id, host, _, _ in _iter_eval(
             recipe, data_root, ts, attn_impl=attn_impl,
-            max_batches=max_batches):
+            max_batches=max_batches, split=split):
         for b in range(host["pred"].shape[0]):
             if not host["valid"][b]:
                 continue

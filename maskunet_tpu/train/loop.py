@@ -12,7 +12,6 @@ prefetched input pipeline, jsonl metrics, images/sec meter.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any
 
 import jax

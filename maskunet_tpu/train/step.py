@@ -21,8 +21,7 @@ absent), 'fresh' draws new Bernoulli masks every step.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
