@@ -31,6 +31,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu for a smoke run)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "before device/mesh setup (TPU pod slices)")
 
 
 def main(argv=None) -> int:
@@ -102,6 +105,9 @@ def main(argv=None) -> int:
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "distributed", False):
+        import jax
+        jax.distributed.initialize()
 
     from maskunet_tpu.utils import compile_cache
     compile_cache.enable()

@@ -296,3 +296,21 @@ def apply(params: dict, state: dict, x: jax.Array, *,
 
 def param_count(params: dict) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def cast_params_for_inference(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Pre-cast matmul/conv weights to the compute dtype for serving.
+
+    Training keeps f32 master weights (cast in-graph per step), but at
+    inference that doubles the per-step weight HBM traffic (profile: the
+    f32 copy/slice-start DMAs of conv kernels are ~2 ms/step at batch 8).
+    Norm scales/offsets stay f32 — they participate in f32 statistics
+    arithmetic.
+    """
+    def cast(path, leaf):
+        name = str(path[-1].key) if path else ""
+        if name in ("kernel", "bias"):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)

@@ -105,6 +105,9 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
             ts = ts.replace(masks=mu.make_attention_masks(
                 jax.random.key(recipe.seed + 1), batch, cfg.img_size))
 
+    if compute_dtype == "bfloat16":
+        ts = ts.replace(params=mu.cast_params_for_inference(ts.params))
+
     @jax.jit
     def forward(params, mstate, masks, x):
         out, _ = mu.apply(params, mstate,

@@ -142,3 +142,28 @@ def test_early_stopping_and_overfit_guard():
     assert not og(0.5)
     assert not og(0.45)
     assert og(0.35)
+
+
+def test_warm_start_via_loop(tmp_path):
+    """Cross-task warm start: 3-head panoptic checkpoint -> semantic run
+    (the city_semantic.py:333-338 capability, structure-independent)."""
+    import dataclasses
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    donor_rec = dataclasses.replace(
+        recipes_lib.get("synthetic_panoptic"), img_size=32,
+        checkpoint_name="donor")
+    donor = loop.train(donor_rec, None, str(tmp_path), max_epochs=1,
+                       log_every=0, verbose=False)
+
+    target_rec = dataclasses.replace(
+        recipes_lib.get("synthetic_semantic"), img_size=32,
+        checkpoint_name="target")
+    res = loop.train(target_rec, None, str(tmp_path), max_epochs=1,
+                     log_every=0, verbose=False,
+                     init_from=str(tmp_path / "donor_best.msgpack"),
+                     init_drop=("final_conv", "final_bn"))
+    # warm-started run should beat a cold epoch-1 (which lands ~0.4)
+    assert res.history[0]["miou"] > 0.4
