@@ -22,7 +22,7 @@ from __future__ import annotations
 import concurrent.futures
 import queue
 import threading
-from typing import Any, Iterator, Protocol
+from typing import Iterator, Protocol
 
 import numpy as np
 

@@ -23,6 +23,7 @@ runs two kernels: dQ over (B, nQ, nK) and dK/dV over (B, nK, nQ).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +42,6 @@ def _interpret_mode() -> bool:
         _INTERPRET = jax.default_backend() != "tpu"
     return _INTERPRET
 
-
-import os
 
 # Tuned on TPU v5e (tools/attn_microbench.py sweep): BQ=2048/BK=1024 runs
 # the 16,384-token layer forward at 41.6 TF/s vs 24.5 at 512/512 (fewer

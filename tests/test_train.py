@@ -167,3 +167,43 @@ def test_warm_start_via_loop(tmp_path):
                      init_drop=("final_conv", "final_bn"))
     # warm-started run should beat a cold epoch-1 (which lands ~0.4)
     assert res.history[0]["miou"] > 0.4
+
+
+def test_training_dynamics_match_torch_oracle():
+    """Lockstep training parity: same weights, batches, masks -> per-step
+    losses match torch (AdamW + BN stats + grads through all layers)."""
+    import torch
+    from torch_oracle import OracleUNet, load_params
+
+    img, c_out, batch, lr, wd = 16, 5, 4, 1e-3, 1e-2
+    cfg = mu.MaskAttnUNetConfig(c_out=c_out, img_size=img,
+                                dropout_rate=0.0, attn_impl="dense")
+    params, mstate = mu.init(jax.random.key(0), cfg)
+    masks = mu.make_attention_masks(jax.random.key(1), batch, img)
+    masks = tuple(m.at[..., 0].set(True) for m in masks)
+
+    oracle = OracleUNet(3, c_out, img)
+    load_params(oracle, jax.tree.map(np.asarray, params))
+    oracle.train(True)
+    opt = torch.optim.AdamW(oracle.parameters(), lr=lr, weight_decay=wd)
+    criterion = torch.nn.CrossEntropyLoss()
+    t_masks = [torch.from_numpy(np.asarray(m)) for m in masks]
+
+    tx = optax.adamw(lr, weight_decay=wd)
+    ts = state_lib.create(jax.random.key(2), params, mstate, tx, masks=masks)
+    train_step = jax.jit(step_lib.make_train_step(
+        cfg, step_lib.TaskConfig(), tx))
+
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        x = rng.standard_normal((batch, img, img, 3)).astype(np.float32)
+        y = rng.integers(0, c_out, (batch, img, img))
+        ts, metrics = train_step(ts, {"image": jnp.asarray(x),
+                                      "label": jnp.asarray(y)})
+        opt.zero_grad()
+        out = oracle(torch.from_numpy(x).permute(0, 3, 1, 2), t_masks)
+        loss = criterion(out, torch.from_numpy(y).long())
+        loss.backward()
+        opt.step()
+        rel = abs(float(metrics["loss"]) - float(loss)) / float(loss)
+        assert rel < 5e-3, (i, float(metrics["loss"]), float(loss))
