@@ -68,6 +68,50 @@ def evaluate_semantic(recipe: Recipe, data_root: str | None, ts,
     return loop_lib.evaluate(recipe, data_root, ts, **kw)
 
 
+def _ragged_coco_gt(recipe: Recipe, data_root: str, split: str):
+    """Ragged ground-truth twin for the coco_instance recipe: real
+    per-annotation masks + category ids (the training target is the
+    reference's summed-mask map, whose values are overlap counts — wrong
+    as evaluation gt; the reference's own final eval is broken here,
+    coco_instance.py:386-413)."""
+    import os
+
+    from maskunet_tpu.data import coco as coco_data
+    from maskunet_tpu.evaluation import rle as rle_lib
+
+    ann = os.path.join(data_root, "annotations")
+    if split == "train":
+        ds = coco_data.COCOInstanceDataset(
+            os.path.join(ann, "instances_train2017.json"),
+            os.path.join(data_root, "train_subset"),
+            img_size=recipe.img_size, summed_target=False)
+    else:
+        ds = coco_data.COCOInstanceDataset(
+            os.path.join(ann, "instances_val2017.json"),
+            os.path.join(data_root, "val2017"),
+            img_size=recipe.img_size, summed_target=False)
+
+    def gt_for(index: int) -> list[dict]:
+        ex = ds[index]
+        out = []
+        for m, cat in zip(ex["masks"], ex["labels"]):
+            ys, xs = np.nonzero(m)
+            if len(ys) == 0:
+                continue
+            out.append({
+                "category_id": int(cat),
+                "bbox": [int(xs.min()), int(ys.min()),
+                         int(xs.max() - xs.min() + 1),
+                         int(ys.max() - ys.min() + 1)],
+                "score": 1.0,
+                "area": int(m.sum()),
+                "segmentation": rle_lib.encode(m.astype(np.uint8)),
+            })
+        return out
+
+    return gt_for
+
+
 def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                        max_queries: tuple[int, ...] | None = None,
                        use_embeddings: bool | None = None,
@@ -81,6 +125,10 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
         max_queries = recipe.eval_max_queries
     if use_embeddings is None:
         use_embeddings = recipe.embed_dim > 0
+    ragged_gt = None
+    if (recipe.dataset == "coco" and recipe.task == "instance"
+            and data_root is not None):
+        ragged_gt = _ragged_coco_gt(recipe, data_root, split)
     gts: list[dict] = []
     dts: list[dict] = []
     for base_id, host, _, _ in _iter_eval(
@@ -97,7 +145,9 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                 pred_inst = clustering.annotate_instances(masks, pred)
             else:
                 pred_inst = instances.get_instances_from_mask(pred, prob)
-            if "instance" in host:
+            if ragged_gt is not None:
+                gt_inst = ragged_gt(img_id)
+            elif "instance" in host:
                 gt_inst = instances.instances_from_id_map(
                     host["instance"][b], host["label"][b])
             else:

@@ -78,3 +78,25 @@ def test_batch_sharding_layout():
     assert len(xs.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in xs.addressable_shards}
     assert shard_shapes == {(1, 4, 4, 3)}
+
+
+def test_evaluate_with_mesh_matches_single_device():
+    """Sharded evaluation (batch over `data`) equals single-device."""
+    import dataclasses
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32)
+    cfg = loop.model_config(rec, 8, attn_impl="dense")
+    tx = optax.adamw(1e-3)
+    ts = loop.setup_state(rec, cfg, tx)
+    single = loop.evaluate(rec, None, ts, max_batches=2)
+
+    mesh = mesh_lib.make_mesh()
+    ts8 = mesh_lib.put_replicated(mesh, ts)
+    sharded = loop.evaluate(rec, None, ts8, mesh=mesh, max_batches=2)
+    for k in single:
+        np.testing.assert_allclose(single[k], sharded[k], rtol=1e-4,
+                                   err_msg=k)
