@@ -52,6 +52,8 @@ def main(argv=None) -> int:
                     help="seeded random train-set fraction (sweep support)")
     tp.add_argument("--debug-nan", action="store_true",
                     help="raise on non-finite step metrics")
+    tp.add_argument("--no-cache", action="store_true",
+                    help="disable the in-RAM decoded-example cache")
     tp.add_argument("--eval-every", type=int, default=None,
                     help="run validation every N epochs (logged as val_*)")
     tp.add_argument("--init-from", default=None,
@@ -129,7 +131,8 @@ def main(argv=None) -> int:
             compute_dtype=args.compute_dtype, resume=args.resume,
             log_every=args.log_every, data_fraction=args.data_fraction,
             debug_nan=args.debug_nan, eval_every=args.eval_every,
-            init_from=args.init_from, init_drop=tuple(args.init_drop))
+            init_from=args.init_from, init_drop=tuple(args.init_drop),
+            cache_examples=not args.no_cache)
         print(json.dumps({
             "recipe": recipe.name,
             "best_loss": result.best_loss,

@@ -67,12 +67,17 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           debug_nan: bool = False,
           eval_every: int | None = None,
           init_from: str | None = None,
-          init_drop: tuple[str, ...] = ()) -> TrainResult:
+          init_drop: tuple[str, ...] = (),
+          cache_examples: bool = True) -> TrainResult:
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
     if data_fraction < 1.0:
         from maskunet_tpu.data.subset import FractionSubset
         train_ds = FractionSubset(train_ds, data_fraction,
                                   seed=recipe.seed)
+    if cache_examples:
+        from maskunet_tpu.data.cache import CachedDataset
+        train_ds = CachedDataset(train_ds)
+        val_ds = CachedDataset(val_ds)
     cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
                        compute_dtype=compute_dtype)
     tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)

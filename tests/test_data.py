@@ -263,3 +263,24 @@ def test_cityscapes_panoptic_glob(cityscapes_root):
                                               img_size=32)
     ex = ds[0]
     assert "instance" in ex and "label" in ex
+
+
+def test_cached_dataset():
+    from maskunet_tpu.data.cache import CachedDataset
+
+    class Counting:
+        def __init__(self):
+            self.calls = 0
+            self.num_classes = 5
+        def __len__(self):
+            return 4
+        def __getitem__(self, i):
+            self.calls += 1
+            return {"image": np.full((2, 2, 3), i, np.uint8)}
+
+    base = Counting()
+    ds = CachedDataset(base)
+    a = ds[1]; b = ds[1]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert base.calls == 1          # second access served from RAM
+    assert ds.num_classes == 5      # metadata delegation
