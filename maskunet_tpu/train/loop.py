@@ -154,6 +154,10 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             if max_steps is not None and steps_done >= max_steps:
                 break
 
+        if count == 0:
+            raise ValueError(
+                f"epoch produced no batches: train set has {len(train_ds)} "
+                f"examples < batch size {recipe.batch_size} (drop_last)")
         avg_loss = total_loss / max(count, 1)
         avg_iou = total_iou / max(count, 1)
         best_loss = min(best_loss, avg_loss)
