@@ -1,0 +1,82 @@
+"""HTTP serving: micro-batcher and handler, in-process on an ephemeral port."""
+
+import dataclasses
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import cv2
+import numpy as np
+import pytest
+
+from maskunet_tpu import serve
+from maskunet_tpu.tasks import recipes as recipes_lib
+
+
+@pytest.fixture(scope="module")
+def server():
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=2)
+    runner, img_size = serve.build_model_runner(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="float32", batch_size=2)   # fresh init is fine
+    runner(np.zeros((2, img_size, img_size, 3), np.uint8))  # warm compile
+    batcher = serve._Batcher(runner, 2, max_wait_ms=5.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler(batcher, img_size, 8))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _png_mask(url: str, payload: bytes) -> np.ndarray:
+    req = urllib.request.Request(url + "/predict", data=payload,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        data = r.read()
+    return cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        body = r.read()
+    assert b'"status": "ok"' in body
+
+
+def test_predict_roundtrip(server):
+    img = np.random.default_rng(0).integers(
+        0, 255, (48, 40, 3)).astype(np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    mask = _png_mask(server, jpg.tobytes())
+    assert mask.shape == (32, 32)
+    assert mask.max() < 8
+
+
+def test_predict_concurrent_batching(server):
+    rng = np.random.default_rng(1)
+    payloads = []
+    for _ in range(4):
+        ok, jpg = cv2.imencode(
+            ".jpg", rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+        payloads.append(jpg.tobytes())
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        masks = list(ex.map(lambda p: _png_mask(server, p), payloads))
+    assert all(m.shape == (32, 32) for m in masks)
+
+
+def test_predict_rejects_garbage(server):
+    req = urllib.request.Request(server + "/predict", data=b"junk",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def test_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(server + "/nope", timeout=30)
+    assert exc.value.code == 404
