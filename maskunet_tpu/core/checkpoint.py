@@ -107,28 +107,58 @@ def transfer_params(init_params: dict, ckpt_params: dict,
 
 
 class CheckpointManager:
-    """best / latest / periodic retention, reference cadence semantics."""
+    """best / latest / periodic retention, reference cadence semantics.
 
-    def __init__(self, directory: str, name: str = "checkpoint"):
+    Saves are asynchronous by default: the device state is snapshotted to
+    host synchronously (cheap), then serialization + the atomic write run
+    on a background thread so the train loop isn't stalled by disk I/O
+    (a full train state is ~280 MB; the reference's torch.save blocks the
+    epoch loop). One save per tag is in flight at a time; `wait()` joins
+    all pending writes (called automatically before restore)."""
+
+    def __init__(self, directory: str, name: str = "checkpoint",
+                 async_saves: bool = True):
         self.directory = directory
         self.name = name
+        self.async_saves = async_saves
+        self._pending: dict[str, Any] = {}
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, f"{self.name}_{tag}.msgpack")
 
-    def save_best(self, state: Any) -> str:
-        path = self._path("best")
-        save(path, state)
+    def _save(self, tag: str, state: Any) -> str:
+        import threading
+
+        path = self._path(tag)
+        if not self.async_saves:
+            save(path, state)
+            return path
+        host_state = jax.device_get(state)
+        prev = self._pending.get(tag)
+        if prev is not None:
+            prev.join()
+        t = threading.Thread(target=save, args=(path, host_state),
+                             daemon=True)
+        t.start()
+        self._pending[tag] = t
         return path
+
+    def wait(self) -> None:
+        for t in self._pending.values():
+            t.join()
+        self._pending.clear()
+
+    def save_best(self, state: Any) -> str:
+        return self._save("best", state)
 
     def save_latest(self, state: Any) -> str:
-        path = self._path("latest")
-        save(path, state)
-        return path
+        return self._save("latest", state)
 
     def restore(self, template: Any, tag: str = "latest") -> Any:
+        self.wait()
         return restore(self._path(tag), template)
 
     def has(self, tag: str = "latest") -> bool:
+        self.wait()
         return os.path.exists(self._path(tag))

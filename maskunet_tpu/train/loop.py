@@ -191,6 +191,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             break
 
     logger.close()
+    manager.wait()   # all async checkpoint writes durable before return
     return TrainResult(ts, history, best_loss, best_iou,
                        meter.images_per_sec())
 

@@ -207,3 +207,16 @@ def test_training_dynamics_match_torch_oracle():
         opt.step()
         rel = abs(float(metrics["loss"]) - float(loss)) / float(loss)
         assert rel < 5e-3, (i, float(metrics["loss"]), float(loss))
+
+
+def test_async_checkpoint_manager_roundtrip(tmp_path):
+    cfg, task, tx, ts = _setup()
+    manager = checkpoint.CheckpointManager(str(tmp_path), "async")
+    manager.save_latest(ts)
+    manager.save_best(ts)
+    manager.save_latest(ts)          # second in-flight save for same tag
+    assert manager.has("latest")     # waits for pending writes
+    restored = manager.restore(ts, "latest")
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["initial"]["conv1"]["kernel"]),
+        np.asarray(ts.params["initial"]["conv1"]["kernel"]))
