@@ -115,7 +115,11 @@ def main(argv=None) -> int:
     compile_cache.enable()
 
     from maskunet_tpu.tasks import recipes as recipes_lib
-    recipe = recipes_lib.get(args.recipe)
+    try:
+        recipe = recipes_lib.get(args.recipe)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
 
     mesh = None
     if args.n_data is not None:

@@ -167,10 +167,25 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                   "images_per_sec": round(meter.images_per_sec(), 2)}
         if eval_every and (epoch + 1) % eval_every == 0:
             # periodic in-training validation (the reference's
-            # coco_instance in-loop eval pattern, coco_instance.py:345-367)
+            # coco_instance in-loop eval pattern writing train_ap_results
+            # .txt, coco_instance.py:345-367)
             val = _evaluate_state(recipe, cfg, ts, val_ds,
                                   sharding=sharding, max_batches=8)
             record.update({f"val_{k}": v for k, v in val.items()})
+            if recipe.task == "panoptic":
+                from maskunet_tpu.tasks import evaluators
+                pan = evaluators.evaluate_panoptic(
+                    recipe, data_root, ts, max_batches=2,
+                    attn_impl=attn_impl)
+                record["val_pq"] = pan["pq"]["All"]["pq"]
+                record["val_ap"] = pan["ap"]["AP"]
+            elif recipe.task == "instance":
+                from maskunet_tpu.tasks import evaluators
+                q = recipe.eval_max_queries[-1]
+                inst = evaluators.evaluate_instances(
+                    recipe, data_root, ts, max_queries=(q,),
+                    max_batches=2, attn_impl=attn_impl)
+                record["val_ap"] = inst[q]["AP"]
         history.append(record)
         logger.log(record)
         if verbose:
