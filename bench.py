@@ -61,22 +61,24 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     labels = jnp.asarray(rng.integers(0, 150, (batch, 128, 128)))
     masks = mu.make_attention_masks(jax.random.key(1), batch, 128)
 
-    # --- inference (serving-style: weights pre-cast to compute dtype) ---
-    infer_params = (mu.cast_params_for_inference(params)
-                    if compute_dtype == "bfloat16" else params)
+    # --- inference (serving-style: BN folded into convs, weights
+    # pre-cast to the compute dtype) ---
+    infer_params = mu.fold_bn_for_inference(params, mstate, cfg)
+    if compute_dtype == "bfloat16":
+        infer_params = mu.cast_params_for_inference(infer_params)
 
     @jax.jit
-    def forward(params, mstate, x):
-        out, _ = mu.apply(params, mstate, x, cfg=cfg, masks=masks,
-                          train=False)
+    def forward(params, x):
+        out, _ = mu.apply(params, None, x, cfg=cfg, masks=masks,
+                          train=False, folded=True)
         return out.semantic
 
-    forward(infer_params, mstate, x).block_until_ready()
+    forward(infer_params, x).block_until_ready()
     for _ in range(warmup):
-        forward(infer_params, mstate, x).block_until_ready()
+        forward(infer_params, x).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = forward(infer_params, mstate, x)
+        out = forward(infer_params, x)
     out.block_until_ready()
     infer_ips = batch * steps / (time.perf_counter() - t0)
 

@@ -122,10 +122,17 @@ class CheckpointManager:
         self.name = name
         self.async_saves = async_saves
         self._pending: dict[str, Any] = {}
+        self._errors: list[tuple[str, BaseException]] = []
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, f"{self.name}_{tag}.msgpack")
+
+    def _save_thread(self, path: str, tag: str, host_state: Any) -> None:
+        try:
+            save(path, host_state)
+        except BaseException as e:  # surfaced by wait()/has()/restore()
+            self._errors.append((tag, e))
 
     def _save(self, tag: str, state: Any) -> str:
         import threading
@@ -138,16 +145,28 @@ class CheckpointManager:
         prev = self._pending.get(tag)
         if prev is not None:
             prev.join()
-        t = threading.Thread(target=save, args=(path, host_state),
-                             daemon=True)
+        self._raise_pending_errors()
+        t = threading.Thread(target=self._save_thread,
+                             args=(path, tag, host_state), daemon=True)
         t.start()
         self._pending[tag] = t
         return path
 
+    def _raise_pending_errors(self) -> None:
+        if self._errors:
+            tag, err = self._errors[0]
+            self._errors.clear()
+            raise RuntimeError(
+                f"async checkpoint save '{tag}' failed — no durable "
+                f"checkpoint was written") from err
+
     def wait(self) -> None:
+        """Join all in-flight writes; re-raises the first save failure
+        (a failed save must not be silently reported as success)."""
         for t in self._pending.values():
             t.join()
         self._pending.clear()
+        self._raise_pending_errors()
 
     def save_best(self, state: Any) -> str:
         return self._save("best", state)

@@ -39,9 +39,17 @@ class ADE20KSemanticDataset:
             os.path.join(root, "objectInfo150.txt"))
         self.cat2label = {i: i for i in range(len(self.categories))}
         self.num_classes = len(self.categories)
+        # every non-background class is a "thing": ADE panoptic here
+        # synthesizes instances per class via connected components
+        # (generate_instance_mask, ade_panoptic.py:36-47), so all classes
+        # participate in instance matching
+        self.things_labels = set(range(1, self.num_classes))
         self.files = sorted(
             f for f in os.listdir(self.img_dir)
             if f.endswith((".jpg", ".png")))
+
+    def image_id(self, idx: int) -> int:
+        return idx
 
     def __len__(self) -> int:
         return len(self.files)

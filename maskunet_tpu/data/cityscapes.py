@@ -34,6 +34,9 @@ class CityscapesDataset:
         self.img_size = img_size
         self.with_instance = with_instance
         self.num_classes = NUM_CLASSES
+        # Cityscapes train ids 11-18 (person..bicycle) are the classes
+        # with instance annotations; 0-10 are stuff
+        self.things_labels = set(range(11, NUM_CLASSES))
         pattern = os.path.join(root, "leftImg8bit", split, "*",
                                "*_leftImg8bit.png")
         self.files = sorted(glob.glob(pattern))
@@ -42,6 +45,9 @@ class CityscapesDataset:
 
     def __len__(self) -> int:
         return len(self.files)
+
+    def image_id(self, idx: int) -> int:
+        return idx
 
     def _gt_path(self, img_path: str, suffix: str) -> str:
         rel = os.path.relpath(img_path,

@@ -67,6 +67,11 @@ class COCOPanopticDataset:
     def __len__(self) -> int:
         return len(self.images)
 
+    def image_id(self, idx: int) -> int:
+        """Real COCO image id (the reference keys its eval/export JSONs
+        by these, coco_panoptic.py:388-425)."""
+        return int(self.images[idx]["id"])
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         info = self.images[idx]
         h, w = info["height"], info["width"]
@@ -120,9 +125,14 @@ class COCOInstanceDataset:
         self.categories = {c["id"]: c for c in data["categories"]}
         # reference: c_out = len(coco.cats) + 1 (coco_instance.py:289)
         self.num_classes = len(self.categories) + 1
+        # instances_*.json categories are all things by definition
+        self.things_labels = set(self.categories)
 
     def __len__(self) -> int:
         return len(self.images)
+
+    def image_id(self, idx: int) -> int:
+        return int(self.images[idx]["id"])
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         info = self.images[idx]

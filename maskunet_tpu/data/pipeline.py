@@ -107,29 +107,72 @@ def to_device(batch: dict[str, np.ndarray], *, sharding=None) -> dict:
 
 
 class Prefetcher:
-    """Background thread that keeps `depth` device-resident batches ready."""
+    """Background thread that keeps `depth` device-resident batches ready.
+
+    Use as a context manager (or call `close()`): a consumer that stops
+    early (break / max_batches) would otherwise leave the worker blocked
+    on a full queue forever, leaking the thread, the decode pool of the
+    underlying generator, and device-resident batches.
+    """
 
     def __init__(self, iterator: Iterator[dict[str, np.ndarray]], *,
                  sharding=None, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sharding = sharding
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(iterator,), daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that gives up once close() is called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self, iterator):
         try:
-            for batch in iterator:
-                self._q.put(to_device(batch, sharding=self._sharding))
+            try:
+                for batch in iterator:
+                    if not self._put(to_device(batch,
+                                               sharding=self._sharding)):
+                        return
+            finally:
+                # release the generator's resources (e.g. the decode
+                # thread pool inside BatchIterator.epoch) promptly
+                close = getattr(iterator, "close", None)
+                if close is not None:
+                    close()
         except BaseException as e:  # surface errors at the consumer
-            self._q.put(e)
+            self._put(e)
             return
-        self._q.put(None)
+        self._put(None)
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is None:
             raise StopIteration

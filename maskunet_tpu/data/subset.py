@@ -26,6 +26,11 @@ class FractionSubset:
     def __getitem__(self, idx: int):
         return self.dataset[int(self.indices[idx])]
 
+    def image_id(self, idx: int) -> int:
+        base = int(self.indices[idx])
+        fn = getattr(self.dataset, "image_id", None)
+        return int(fn(base)) if fn is not None else base
+
     def __getattr__(self, name):
         # delegate metadata (num_classes, cat2label, ...) to the base
         return getattr(self.dataset, name)

@@ -30,9 +30,14 @@ class SyntheticSegmentationDataset:
         rng = np.random.default_rng(palette_seed)
         self.class_colors = rng.integers(
             0, 256, (num_classes, 3)).astype(np.uint8)
+        # rectangles are instanced objects; background 0 is stuff
+        self.things_labels = set(range(1, num_classes))
 
     def __len__(self) -> int:
         return self.num_examples
+
+    def image_id(self, idx: int) -> int:
+        return idx
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         rng = np.random.default_rng(self.seed * 100003 + idx)

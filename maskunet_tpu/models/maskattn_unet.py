@@ -114,7 +114,14 @@ def _convblock_init(key, cin, cout, mid=None, residual=False):
     return params, state, residual
 
 
-def _convblock(p, s, x, *, train, residual):
+def _convblock(p, s, x, *, train, residual, folded=False):
+    if folded:
+        # BN affines pre-folded into the conv kernels/biases
+        # (fold_bn_for_inference); eval-only fast path
+        h = layers.conv2d(p["conv1"], x)
+        h = layers.gelu(h)
+        h = layers.conv2d(p["conv2"], h)
+        return (layers.gelu(x + h) if residual else h), {}
     h = layers.conv2d(p["conv1"], x)
     h, s1 = layers.batchnorm(p["bn1"], s["bn1"], h, train=train)
     h = layers.gelu(h)
@@ -133,8 +140,14 @@ def _down_init(key, cin, cout):
             {"block1": s1, "block2": s2, "bn": bn_s})
 
 
-def _down(p, s, x, *, train):
+def _down(p, s, x, *, train, folded=False):
     x = layers.max_pool_2x(x)
+    if folded:
+        x, _ = _convblock(p["block1"], None, x, train=False,
+                          residual=True, folded=True)
+        x, _ = _convblock(p["block2"], None, x, train=False,
+                          residual=False, folded=True)
+        return x, {}
     x, s1 = _convblock(p["block1"], s["block1"], x, train=train, residual=True)
     x, s2 = _convblock(p["block2"], s["block2"], x, train=train, residual=False)
     x, sbn = layers.batchnorm(p["bn"], s["bn"], x, train=train)
@@ -150,9 +163,15 @@ def _up_init(key, cin, cout):
             {"block1": s1, "block2": s2, "bn": bn_s})
 
 
-def _up(p, s, x, skip, *, train):
+def _up(p, s, x, skip, *, train, folded=False):
     x = layers.upsample_2x_bilinear(x)
     x = jnp.concatenate([skip, x], axis=-1)   # [skip, x] order, ref :253
+    if folded:
+        x, _ = _convblock(p["block1"], None, x, train=False,
+                          residual=True, folded=True)
+        x, _ = _convblock(p["block2"], None, x, train=False,
+                          residual=False, folded=True)
+        return x, {}
     x, s1 = _convblock(p["block1"], s["block1"], x, train=train, residual=True)
     x, s2 = _convblock(p["block2"], s["block2"], x, train=train, residual=False)
     x, sbn = layers.batchnorm(p["bn"], s["bn"], x, train=train)
@@ -210,7 +229,8 @@ def apply(params: dict, state: dict, x: jax.Array, *,
           masks: tuple[jax.Array, ...] | None = None,
           train: bool = False,
           dropout_rng: jax.Array | None = None,
-          mesh=None) -> tuple[ModelOutput, dict]:
+          mesh=None,
+          folded: bool = False) -> tuple[ModelOutput, dict]:
     """Forward pass. x: [B, H, W, c_in] NHWC. Returns (output, new_state).
 
     `masks`: per-attention-layer boolean key masks (see
@@ -220,7 +240,13 @@ def apply(params: dict, state: dict, x: jax.Array, *,
     given, activations are annotated batch-over-'data' throughout and the
     512-channel bottleneck is additionally sharded channels-over-'model'
     (the tensor-parallel seam; GSPMD propagates matching kernel shardings).
+
+    `folded`: eval-only serving fast path — `params` came from
+    `fold_bn_for_inference` (every BatchNorm affine pre-folded into its
+    conv), so all BN ops are skipped; `state` may be None.
     """
+    if folded and train:
+        raise ValueError("folded params are eval-only")
     impl = cfg.resolve_attn_impl()
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     x = x.astype(dtype)
@@ -242,52 +268,63 @@ def apply(params: dict, state: dict, x: jax.Array, *,
 
     def attn(i, h):
         fn = lambda p, x_, m: attention.spatial_attention(  # noqa: E731
-            p, x_, m, impl=impl)
+            p, x_, m, impl=impl, mesh=mesh)
         if cfg.remat_attention and train:
             fn = jax.checkpoint(fn)
         return fn(params[f"attn{i}"], h, masks[i - 1])
 
+    sget = (lambda k: None) if folded else (lambda k: state[k])
     x1, new_state["initial"] = _convblock(
-        params["initial"], state["initial"], x, train=train, residual=False)
-    x2, new_state["down1"] = _down(params["down1"], state["down1"], x1, train=train)
+        params["initial"], sget("initial"), x, train=train, residual=False,
+        folded=folded)
+    x2, new_state["down1"] = _down(params["down1"], sget("down1"), x1,
+                                   train=train, folded=folded)
     x2 = attn(1, x2)
-    x3, new_state["down2"] = _down(params["down2"], state["down2"], x2, train=train)
+    x3, new_state["down2"] = _down(params["down2"], sget("down2"), x2,
+                                   train=train, folded=folded)
     x3 = attn(2, x3)
-    x4, new_state["down3"] = _down(params["down3"], state["down3"], x3, train=train)
+    x4, new_state["down3"] = _down(params["down3"], sget("down3"), x3,
+                                   train=train, folded=folded)
     x4 = attn(3, x4)
 
     for i in (1, 2, 3):
         x4, new_state[f"bottom{i}"] = _convblock(
-            params[f"bottom{i}"], state[f"bottom{i}"], x4,
-            train=train, residual=False)
+            params[f"bottom{i}"], sget(f"bottom{i}"), x4,
+            train=train, residual=False, folded=folded)
         # TP seam: shard the 512-wide bottleneck channels over 'model'
         x4 = constrain(x4, spec_channels_tp=(i < 3))
 
-    h, new_state["up1"] = _up(params["up1"], state["up1"], x4, x3, train=train)
+    h, new_state["up1"] = _up(params["up1"], sget("up1"), x4, x3,
+                              train=train, folded=folded)
     h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[0], train=train)
     h = attn(4, h)
-    h, new_state["up2"] = _up(params["up2"], state["up2"], h, x2, train=train)
+    h, new_state["up2"] = _up(params["up2"], sget("up2"), h, x2,
+                              train=train, folded=folded)
     h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[1], train=train)
     h = attn(5, h)
-    h, new_state["up3"] = _up(params["up3"], state["up3"], h, x1, train=train)
+    h, new_state["up3"] = _up(params["up3"], sget("up3"), h, x1,
+                              train=train, folded=folded)
     h = attn(6, h)
     h = layers.layernorm(params["final_norm"], h)
 
     sem = layers.conv2d(params["final_conv"], h)
-    sem, new_state["final_bn"] = layers.batchnorm(
-        params["final_bn"], state["final_bn"], sem, train=train)
+    if not folded:
+        sem, new_state["final_bn"] = layers.batchnorm(
+            params["final_bn"], state["final_bn"], sem, train=train)
     sem = jax.nn.relu(sem)   # faithful: ReLU on logits (ade_semantic.py:286)
 
     boundary = embeddings = None
     if cfg.embed_dim > 0:
         e = layers.conv2d(params["embed_conv"], h)
-        e, new_state["embed_bn"] = layers.batchnorm(
-            params["embed_bn"], state["embed_bn"], e, train=train)
+        if not folded:
+            e, new_state["embed_bn"] = layers.batchnorm(
+                params["embed_bn"], state["embed_bn"], e, train=train)
         embeddings = jax.nn.relu(e)
     if cfg.with_boundary_head:
         b = layers.conv2d(params["boundary_conv1"], sem)
-        b, new_state["boundary_bn"] = layers.batchnorm(
-            params["boundary_bn"], state["boundary_bn"], b, train=train)
+        if not folded:
+            b, new_state["boundary_bn"] = layers.batchnorm(
+                params["boundary_bn"], state["boundary_bn"], b, train=train)
         b = jax.nn.relu(b)
         boundary = layers.conv2d(params["boundary_conv2"], b)
 
@@ -296,6 +333,67 @@ def apply(params: dict, state: dict, x: jax.Array, *,
 
 def param_count(params: dict) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def _bn_affine(bn_params: dict, bn_state: dict, eps: float = 1e-5):
+    """Eval-mode BatchNorm as per-channel (a, b): y = a*x + b."""
+    a = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + eps)
+    return a, bn_params["offset"] - bn_state["mean"] * a
+
+
+def _fold_conv(conv_p: dict, a, b) -> dict:
+    """Absorb affine y = a*conv(x) + b into the conv kernel (HWIO: out
+    channels on the last axis) and bias."""
+    out = {"kernel": conv_p["kernel"] * a}
+    bias = conv_p.get("bias")
+    out["bias"] = (bias * a + b) if bias is not None else b
+    return out
+
+
+def fold_bn_for_inference(params: dict, state: dict,
+                          cfg: MaskAttnUNetConfig) -> dict:
+    """Fold every eval-mode BatchNorm (an affine given running stats) into
+    the preceding conv's kernel/bias — including the Down/Up blocks'
+    *second* trailing BN (the reference's double-BN block boundaries,
+    ade_semantic.py:215-220/237-241, fold as two chained affines). The
+    returned params run with `apply(..., folded=True)`, which executes no
+    BN ops at all: ~30 fewer elementwise passes over activations on the
+    serving path. Exactness: affine-into-conv folding is algebraically
+    exact in f32; cast to bf16 after folding for serving.
+    """
+    def fold_block(bp, bs, extra=None):
+        a1, b1 = _bn_affine(bp["bn1"], bs["bn1"])
+        a2, b2 = _bn_affine(bp["bn2"], bs["bn2"])
+        if extra is not None:    # trailing Down/Up BN: chain the affines
+            a3, b3 = _bn_affine(*extra)
+            a2, b2 = a2 * a3, b2 * a3 + b3
+        return {"conv1": _fold_conv(bp["conv1"], a1, b1),
+                "conv2": _fold_conv(bp["conv2"], a2, b2)}
+
+    out: dict = {}
+    out["initial"] = fold_block(params["initial"], state["initial"])
+    for name in ("down1", "down2", "down3", "up1", "up2", "up3"):
+        p, s = params[name], state[name]
+        out[name] = {
+            "block1": fold_block(p["block1"], s["block1"]),
+            "block2": fold_block(p["block2"], s["block2"],
+                                 extra=(p["bn"], s["bn"])),
+        }
+    for name in ("bottom1", "bottom2", "bottom3"):
+        out[name] = fold_block(params[name], state[name])
+    for i in range(1, 7):
+        out[f"attn{i}"] = params[f"attn{i}"]
+    out["final_norm"] = params["final_norm"]
+    a, b = _bn_affine(params["final_bn"], state["final_bn"])
+    out["final_conv"] = _fold_conv(params["final_conv"], a, b)
+    if cfg.embed_dim > 0:
+        a, b = _bn_affine(params["embed_bn"], state["embed_bn"])
+        out["embed_conv"] = _fold_conv(params["embed_conv"], a, b)
+    if cfg.with_boundary_head:
+        a, b = _bn_affine(params["boundary_bn"], state["boundary_bn"])
+        out["boundary_conv1"] = _fold_conv(params["boundary_conv1"], a, b)
+        out["boundary_conv2"] = params["boundary_conv2"]
+    return out
 
 
 def cast_params_for_inference(params: dict, dtype=jnp.bfloat16) -> dict:

@@ -88,14 +88,17 @@ def masked_attention_dense(params: dict, tokens: jax.Array,
 
 def spatial_attention(params: dict, x: jax.Array,
                       key_mask: jax.Array | None, *,
-                      impl: str = "dense") -> jax.Array:
+                      impl: str = "dense", mesh=None) -> jax.Array:
     """Apply masked attention to an NHWC feature map (flatten -> attend ->
-    unflatten), dispatching to the dense or Pallas implementation."""
+    unflatten), dispatching to the dense or Pallas implementation.
+    `mesh` (flash only): batch-shard the Pallas kernel over the mesh's
+    'data' axis via shard_map."""
     b, h, w, c = x.shape
     tokens = x.reshape(b, h * w, c)
     if impl == "flash":
         from maskunet_tpu.ops import flash_attention
-        out = flash_attention.masked_attention_flash(params, tokens, key_mask)
+        out = flash_attention.masked_attention_flash(params, tokens,
+                                                     key_mask, mesh=mesh)
     else:
         out = masked_attention_dense(params, tokens, key_mask)
     return out.reshape(b, h, w, c)

@@ -316,30 +316,38 @@ def mask_to_bias(key_mask: jax.Array | None, batch: int,
     return jnp.where(key_mask[:, None, :], 0.0, NEG_INF).astype(jnp.float32)
 
 
-def _key_capacity(l: int) -> int:
-    """Compacted key count for a Bernoulli(0.5) mask over l keys: l/2 plus
-    an 8-sigma safety margin, rounded up to the 512 kernel block."""
+def _key_capacity(l: int, density: float = 0.5) -> int:
+    """Compacted key count for a Bernoulli(density) mask over l keys:
+    the mean kept count plus an 8-sigma safety margin, rounded up to the
+    512 kernel block."""
     import math
 
-    margin = 8 * int(math.sqrt(l * 0.25)) + 1
-    cap = l // 2 + margin
+    margin = 8 * int(math.sqrt(l * density * (1.0 - density))) + 1
+    cap = int(math.ceil(l * density)) + margin
     return min(l, -(-cap // 512) * 512)
 
 
 COMPACT_MIN_TOKENS = 4096
 
 
-def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array
+def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array, *,
+                 density: float = 0.5
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Gather only the visible keys (the ~50% the Bernoulli mask keeps)
+    """Gather only the visible keys (the ~50% a Bernoulli(0.5) mask keeps)
     into a fixed-capacity buffer. Masked keys receive exactly zero
     attention weight, so dropping them is a pure FLOP/bandwidth saving —
     it halves the dominant QK^T/PV matmuls and the softmax work of the
-    16k-token layers. Overflowing keys beyond the 8-sigma capacity (never
-    observed at these sizes, p < 1e-15) would be dropped.
+    16k-token layers.
+
+    `density` declares the caller's expected keep fraction; capacity is
+    mean + 8 sigma for that density (overflow probability < 1e-15 for a
+    true Bernoulli mask). If the actual mask keeps MORE keys than the
+    capacity (a denser mask than declared), the overflowing rows are
+    NaN-poisoned rather than silently truncated — wrong attention output
+    must be loud.
     """
     b, l, c = k.shape
-    cap = _key_capacity(l)
+    cap = _key_capacity(l, density)
     # stable partition via cumsum + scatter (argsort is a multi-pass
     # bitonic network on TPU — this is one cumsum and one scatter)
     ones = key_mask.astype(jnp.int32)
@@ -350,24 +358,65 @@ def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array
     idx = idx.at[jnp.arange(b)[:, None], slot].set(src)[:, :cap]
     k_c = jnp.take_along_axis(k, idx[..., None], axis=1)
     v_c = jnp.take_along_axis(v, idx[..., None], axis=1)
-    count = jnp.minimum(jnp.sum(ones, axis=1, keepdims=True), cap)
+    total = jnp.sum(ones, axis=1, keepdims=True)
+    overflow = total > cap                         # [B, 1]
+    k_c = jnp.where(overflow[..., None], jnp.nan, k_c)
+    count = jnp.minimum(total, cap)
     valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < count
     return k_c, v_c, valid
 
 
+def _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis="data"):
+    """Run the Pallas kernel under an explicit batch-sharded shard_map.
+
+    GSPMD cannot partition a pallas_call on its own — under a jit'd mesh
+    it would replicate the kernel (or fail to partition), silently
+    wasting every chip but one. shard_map splits the batch over the
+    `data` axis so each device runs the kernel on its local shard; axes
+    not named (e.g. a 'model' TP axis) see replicated execution.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(data_axis, None, None)
+    # positional closure: custom_vjp functions reject keyword args
+    fn = lambda q_, k_, v_, b_: flash_mha(q_, k_, v_, b_, scale)  # noqa: E731
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v, bias)
+
+
 def masked_attention_flash(params: dict, tokens: jax.Array,
-                           key_mask: jax.Array | None) -> jax.Array:
+                           key_mask: jax.Array | None, *,
+                           mask_density: float | None = 0.5,
+                           mesh=None, data_axis: str = "data") -> jax.Array:
     """Drop-in replacement for `masked_attention_dense` using the Pallas
     kernel: projections and the residual+LayerNorm epilogue stay in XLA
     (fused into neighbors); only the O(L^2) core runs in Pallas. Large
-    masked layers additionally compact K/V to the visible keys first."""
+    masked layers additionally compact K/V to the visible keys first.
+
+    `mask_density` is the expected keep fraction of `key_mask` (the
+    model's masks are Bernoulli(0.5)); pass None to disable compaction
+    for masks with no density guarantee. A mask denser than declared
+    NaN-poisons the affected rows instead of silently dropping keys.
+
+    `mesh`: a jax.sharding.Mesh with a `data_axis` axis — the Pallas
+    core then runs under shard_map with the batch partitioned over that
+    axis (required for multi-chip DP: GSPMD won't partition pallas_call
+    by itself). Projections/epilogue stay plain XLA (GSPMD handles
+    them)."""
     b, l, c = tokens.shape
     q = layers.linear(params["query"], tokens)
     k = layers.linear(params["key"], tokens)
     v = layers.linear(params["value"], tokens)
-    if key_mask is not None and l >= COMPACT_MIN_TOKENS:
-        k, v, key_mask = compact_keys(k, v, key_mask)
+    if (key_mask is not None and mask_density is not None
+            and l >= COMPACT_MIN_TOKENS):
+        k, v, key_mask = compact_keys(k, v, key_mask,
+                                      density=mask_density)
     bias = mask_to_bias(key_mask, b, k.shape[1])
-    out = flash_mha(q, k, v, bias, 1.0 / (c ** 0.5))
+    scale = 1.0 / (c ** 0.5)
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        out = _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis)
+    else:
+        out = flash_mha(q, k, v, bias, scale)
     out = out + tokens
     return layers.layernorm(params["norm"], out)

@@ -36,11 +36,14 @@ class _Batcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    PREDICT_TIMEOUT_S = 60.0
+
     def predict(self, image: np.ndarray) -> np.ndarray:
         done = threading.Event()
         slot: dict = {}
         self._q.put((image, slot, done))
-        done.wait()
+        if not done.wait(self.PREDICT_TIMEOUT_S):
+            raise TimeoutError("prediction timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
@@ -58,12 +61,15 @@ class _Batcher:
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            images = np.stack([im for im, _, _ in items])
-            pad = self.batch_size - len(items)
-            if pad:
-                images = np.concatenate(
-                    [images, np.repeat(images[-1:], pad, axis=0)])
+            # batch assembly inside the try: a malformed request (wrong
+            # shape/dtype) must fail its batch, not kill this singleton
+            # worker thread and hang every future predict()
             try:
+                images = np.stack([im for im, _, _ in items])
+                pad = self.batch_size - len(items)
+                if pad:
+                    images = np.concatenate(
+                        [images, np.repeat(images[-1:], pad, axis=0)])
                 preds = self._run(images)
                 for i, (_, slot, done) in enumerate(items):
                     slot["result"] = np.asarray(preds[i])
@@ -95,29 +101,32 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
     if manager.has(tag):
         ts = manager.restore(ts, tag)
 
-    # the checkpoint's cached attention masks are sized for the training
-    # batch; slice or regenerate for the serving batch
+    # serving masks: broadcast the checkpoint's first mask row across the
+    # batch, so a given image scores identically regardless of server
+    # batch size or which slot it lands in (the training-style per-slot
+    # masks would make predictions depend on traffic)
     batch = batch_size or recipe.batch_size
-    if ts.masks is not None and ts.masks[0].shape[0] != batch:
-        if ts.masks[0].shape[0] > batch:
-            ts = ts.replace(masks=tuple(m[:batch] for m in ts.masks))
-        else:
-            ts = ts.replace(masks=mu.make_attention_masks(
-                jax.random.key(recipe.seed + 1), batch, cfg.img_size))
+    if ts.masks is not None:
+        ts = ts.replace(masks=tuple(
+            jnp.broadcast_to(m[:1], (batch,) + m.shape[1:])
+            for m in ts.masks))
 
+    # serving fast path: fold all BN affines into the convs, then
+    # pre-cast to the compute dtype (PERF.md: no BN passes + no f32
+    # weight DMAs per step)
+    infer_params = mu.fold_bn_for_inference(ts.params, ts.model_state, cfg)
     if compute_dtype == "bfloat16":
-        ts = ts.replace(params=mu.cast_params_for_inference(ts.params))
+        infer_params = mu.cast_params_for_inference(infer_params)
 
     @jax.jit
-    def forward(params, mstate, masks, x):
-        out, _ = mu.apply(params, mstate,
+    def forward(params, masks, x):
+        out, _ = mu.apply(params, None,
                           x.astype(jnp.float32) / 255.0, cfg=cfg,
-                          masks=masks, train=False)
+                          masks=masks, train=False, folded=True)
         return jnp.argmax(out.semantic, axis=-1).astype(jnp.uint8)
 
     def runner(images: np.ndarray) -> np.ndarray:
-        return np.asarray(forward(ts.params, ts.model_state, ts.masks,
-                                  images))
+        return np.asarray(forward(infer_params, ts.masks, images))
 
     return runner, cfg.img_size
 
@@ -158,6 +167,9 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int):
                              interpolation=cv2.INTER_LINEAR)
             try:
                 mask = batcher.predict(img)
+            except TimeoutError as e:
+                self.send_error(503, str(e))
+                return
             except RuntimeError as e:
                 self.send_error(500, str(e))
                 return

@@ -30,21 +30,34 @@ from maskunet_tpu.train import loop as loop_lib
 from maskunet_tpu.train import step as step_lib
 
 
-def _iter_eval(recipe: Recipe, data_root: str | None, ts, *,
-               attn_impl: str = "auto", max_batches: int | None = None,
-               split: str = "val"):
-    """Yields (image_id_base, host dict with pred/prob/label[/instance/
-    embeddings]) per batch. `split='train'` reproduces the reference
-    quirk of evaluating cityscapes instances on the train loader
-    (city_instance.py:510)."""
+def _eval_dataset(recipe: Recipe, data_root: str | None,
+                  split: str = "val"):
+    """Returns (dataset, num_classes) for evaluation. `split='train'`
+    reproduces the reference quirk of evaluating cityscapes instances on
+    the train loader (city_instance.py:510)."""
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
-    if split == "train":
-        val_ds = train_ds
+    return (train_ds if split == "train" else val_ds), num_classes
+
+
+def _image_id(ds, idx: int) -> int:
+    """Real dataset image id when the dataset provides one (COCO json
+    ids — the reference keys its eval/export JSONs by these,
+    coco_panoptic.py:388-425); dataset index otherwise."""
+    fn = getattr(ds, "image_id", None)
+    return int(fn(idx)) if fn is not None else idx
+
+
+def _iter_eval(recipe: Recipe, ds, num_classes: int, ts, *,
+               attn_impl: str = "auto", max_batches: int | None = None):
+    """Yields (dataset_indices, image_ids, host dict with pred/prob/
+    label[/instance/embeddings]) per batch. Rows beyond the dataset end
+    (pad_last) are excluded via host['valid']."""
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl)
     eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
-    batches = pipeline.BatchIterator(val_ds, recipe.batch_size,
+    batches = pipeline.BatchIterator(ds, recipe.batch_size,
                                      shuffle=False, drop_last=False,
                                      pad_last=True)
+    n = len(ds)
     for i, batch in enumerate(batches.epoch(0)):
         dev_batch = pipeline.to_device(batch)
         result = eval_step(ts, dev_batch)
@@ -58,7 +71,10 @@ def _iter_eval(recipe: Recipe, data_root: str | None, ts, *,
             host["instance"] = np.asarray(batch["instance"])
         if "embeddings" in result:
             host["embeddings"] = np.asarray(result["embeddings"])
-        yield i * recipe.batch_size, host, result["metrics"], num_classes
+        indices = [min(i * recipe.batch_size + b, n - 1)
+                   for b in range(host["pred"].shape[0])]
+        ids = [_image_id(ds, j) for j in indices]
+        yield indices, ids, host
         if max_batches is not None and i + 1 >= max_batches:
             return
 
@@ -129,15 +145,16 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
     if (recipe.dataset == "coco" and recipe.task == "instance"
             and data_root is not None):
         ragged_gt = _ragged_coco_gt(recipe, data_root, split)
+    ds, num_classes = _eval_dataset(recipe, data_root, split)
     gts: list[dict] = []
     dts: list[dict] = []
-    for base_id, host, _, _ in _iter_eval(
-            recipe, data_root, ts, attn_impl=attn_impl,
-            max_batches=max_batches, split=split):
+    for indices, ids, host in _iter_eval(
+            recipe, ds, num_classes, ts, attn_impl=attn_impl,
+            max_batches=max_batches):
         for b in range(host["pred"].shape[0]):
             if not host["valid"][b]:
                 continue
-            img_id = base_id + b
+            img_id = ids[b]
             pred, prob = host["pred"][b], host["prob"][b]
             if use_embeddings and "embeddings" in host:
                 masks = clustering.instances_from_embeddings(
@@ -146,7 +163,7 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
             else:
                 pred_inst = instances.get_instances_from_mask(pred, prob)
             if ragged_gt is not None:
-                gt_inst = ragged_gt(img_id)
+                gt_inst = ragged_gt(indices[b])
             elif "instance" in host:
                 gt_inst = instances.instances_from_id_map(
                     host["instance"][b], host["label"][b])
@@ -174,18 +191,27 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
                       attn_impl: str = "auto",
                       export_dir: str | None = None) -> dict:
     """AP (segm, iouThrs 0.5:0.95) + PQ All/Things/Stuff + mean IoU —
-    the tuple the reference prints (ade_panoptic.py:588-592)."""
+    the tuple the reference prints (ade_panoptic.py:588-592).
+
+    `things=None` takes the things/stuff split from the dataset
+    (`things_labels`: COCO isthing flags; Cityscapes train ids 11-18;
+    ADE20K/synthetic treat every class as a thing, matching their
+    per-class connected-component instance synthesis)."""
+    ds, num_classes = _eval_dataset(recipe, data_root)
+    if things is None:
+        things = getattr(ds, "things_labels", None)
     gts: list[dict] = []
     dts: list[dict] = []
     pq_images = []
+    export_preds: list[tuple] = []
     ious: list[float] = []
-    for base_id, host, _, num_classes in _iter_eval(
-            recipe, data_root, ts, attn_impl=attn_impl,
+    for _, ids, host in _iter_eval(
+            recipe, ds, num_classes, ts, attn_impl=attn_impl,
             max_batches=max_batches):
         for b in range(host["pred"].shape[0]):
             if not host["valid"][b]:
                 continue
-            img_id = base_id + b
+            img_id = ids[b]
             pred, label = host["pred"][b], host["label"][b]
             # per-image IoU (compute_iou_for_image, ade_panoptic.py:182-192)
             present = [
@@ -207,12 +233,13 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
             pred_pan, pred_segs = panoptic.semantic_to_panoptic(
                 pred, None, things=things)
             pq_images.append((gt_pan, gt_segs, pred_pan, pred_segs))
+            export_preds.append((img_id, pred_pan, pred_segs))
 
     if export_dir is not None:
-        panoptic.save_panoptic_predictions(
-            [(i, pred_pan, pred_segs)
-             for i, (_, _, pred_pan, pred_segs) in enumerate(pq_images)],
-            export_dir)
+        # keyed by the dataset's real image ids so the export can be
+        # compared against the original annotation files / official
+        # tooling (reference shape: coco_panoptic.py:388-425)
+        panoptic.save_panoptic_predictions(export_preds, export_dir)
     ap_stats = coco_eval.evaluate_ap(gts, dts)
     pq_stats = panoptic.pq_compute(pq_images, things=things)
     return {

@@ -129,30 +129,33 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     for epoch in range(epochs):
         total_loss = total_iou = 0.0
         count = 0
-        for i, batch in enumerate(pipeline.Prefetcher(
-                batches.epoch(epoch), sharding=sharding)):
-            batch.pop("valid", None)
-            ts, metrics = train_step(ts, batch)
-            current["ts"] = ts
-            meter.step(recipe.batch_size)
-            loss = float(metrics["loss"])
-            iou = float(metrics["miou"])
-            if debug_nan:
-                from maskunet_tpu.utils.profiling import nan_guard
-                nan_guard(metrics, f"step {steps_done}")
-            total_loss += loss
-            total_iou += iou
-            count += 1
-            steps_done += 1
-            if log_every and i % log_every == 0 and i != 0:
-                if verbose:
+        with pipeline.Prefetcher(batches.epoch(epoch),
+                                 sharding=sharding) as prefetcher:
+            for i, batch in enumerate(prefetcher):
+                batch.pop("valid", None)
+                ts, metrics = train_step(ts, batch)
+                current["ts"] = ts
+                meter.step(recipe.batch_size)
+                loss = float(metrics["loss"])
+                iou = float(metrics["miou"])
+                if debug_nan:
+                    from maskunet_tpu.utils.profiling import nan_guard
+                    nan_guard(metrics, f"step {steps_done}")
+                total_loss += loss
+                total_iou += iou
+                count += 1
+                steps_done += 1
+                if log_every and i % log_every == 0 and i != 0 and verbose:
                     print(f"epoch {epoch + 1}: batch[{i}] "
                           f"loss {total_loss / count:.4f} "
                           f"iou {total_iou / count:.4f}")
-                if ckpt_every and i % ckpt_every == 0:
+                # independent of log_every (the reference nests its save
+                # inside the print cadence, ade_semantic.py:408-412 — here
+                # that coupling silently disabled saves for log_every=0)
+                if ckpt_every and i % ckpt_every == 0 and i != 0:
                     manager.save_latest(ts)
-            if max_steps is not None and steps_done >= max_steps:
-                break
+                if max_steps is not None and steps_done >= max_steps:
+                    break
 
         if count == 0:
             raise ValueError(
@@ -223,14 +226,15 @@ def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
         pad_last=True)
     total: dict[str, float] = {}
     count = 0
-    for i, batch in enumerate(pipeline.Prefetcher(
-            batches.epoch(0), sharding=sharding)):
-        result = eval_step(ts, batch)
-        for k, v in result["metrics"].items():
-            total[k] = total.get(k, 0.0) + float(v)
-        count += 1
-        if max_batches is not None and i + 1 >= max_batches:
-            break
+    with pipeline.Prefetcher(batches.epoch(0),
+                             sharding=sharding) as prefetcher:
+        for i, batch in enumerate(prefetcher):
+            result = eval_step(ts, batch)
+            for k, v in result["metrics"].items():
+                total[k] = total.get(k, 0.0) + float(v)
+            count += 1
+            if max_batches is not None and i + 1 >= max_batches:
+                break
     if count == 0:
         raise ValueError("validation produced no batches")
     return {k: v / count for k, v in total.items()}

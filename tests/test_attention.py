@@ -119,3 +119,36 @@ def test_key_capacity():
     assert _key_capacity(16384) % 512 == 0
     assert 16384 // 2 < _key_capacity(16384) <= 16384 // 2 + 1536
     assert _key_capacity(4096) <= 4096
+
+
+def test_compaction_dense_mask_declared_density(monkeypatch):
+    """A denser-than-Bernoulli(0.5) mask with the matching declared
+    density is still exact (capacity saturates at l -> no compaction
+    benefit, but no dropped keys either)."""
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    params, tokens, _ = _setup(b=2, l=512, c=64)
+    mask = jax.random.bernoulli(jax.random.key(9), 0.9, (2, 512))
+    dense = attention.masked_attention_dense(params, tokens, mask)
+    flash = fa.masked_attention_flash(params, tokens, mask,
+                                      mask_density=0.9)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_compaction_overflow_is_loud(monkeypatch):
+    """A mask denser than the declared density must NaN-poison the
+    affected rows, never silently drop keys (ADVICE r1)."""
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    params, tokens, _ = _setup(b=2, l=2048, c=64)
+    mask = jnp.ones((2, 2048), bool)          # 100% kept, declared 0.5
+    out = fa.masked_attention_flash(params, tokens, mask,
+                                    mask_density=0.5)
+    assert np.isnan(np.asarray(out)).any()
+    # and disabling compaction (density=None) handles it exactly
+    dense = attention.masked_attention_dense(params, tokens, mask)
+    safe = fa.masked_attention_flash(params, tokens, mask,
+                                     mask_density=None)
+    np.testing.assert_allclose(np.asarray(safe), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)

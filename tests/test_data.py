@@ -284,3 +284,42 @@ def test_cached_dataset():
     np.testing.assert_array_equal(a["image"], b["image"])
     assert base.calls == 1          # second access served from RAM
     assert ds.num_classes == 5      # metadata delegation
+
+
+def test_prefetcher_early_exit_releases_worker():
+    """Breaking out of a Prefetcher (max_batches-style) must stop the
+    worker thread instead of leaking it blocked on a full queue
+    (ADVICE r1)."""
+    ds = synthetic.SyntheticSegmentationDataset(num_examples=64, img_size=8)
+    it = pipeline.BatchIterator(ds, 2, shuffle=False)
+    with pipeline.Prefetcher(it.epoch(0)) as pf:
+        next(pf)   # consume one of 32 batches, then exit early
+        worker = pf._thread
+    worker.join(timeout=10)
+    assert not worker.is_alive()
+
+
+def test_prefetcher_iterates_fully_after_close_support():
+    ds = synthetic.SyntheticSegmentationDataset(num_examples=8, img_size=8)
+    it = pipeline.BatchIterator(ds, 4, shuffle=False)
+    with pipeline.Prefetcher(it.epoch(0)) as pf:
+        got = list(pf)
+    assert len(got) == 2
+
+
+def test_coco_image_id_and_things(coco_panoptic_root):
+    root, pan_json = coco_panoptic_root
+    ds = coco.COCOPanopticDataset(pan_json, os.path.join(root, "pan"),
+                                  os.path.join(root, "imgs"), img_size=16)
+    # real json image ids, not indices
+    assert ds.image_id(0) == 1
+    # isthing flags -> label space: cat 20 (label 1) thing, 10 (0) stuff
+    assert ds.things_labels == {1}
+
+
+def test_fraction_subset_image_id_remap():
+    from maskunet_tpu.data.subset import FractionSubset
+    ds = synthetic.SyntheticSegmentationDataset(num_examples=16, img_size=8)
+    sub = FractionSubset(ds, 0.5, seed=0)
+    for i in range(len(sub)):
+        assert sub.image_id(i) == int(sub.indices[i])

@@ -128,3 +128,36 @@ def test_jit_and_grad_compile():
     g = jax.jit(jax.grad(loss_fn))(params)
     assert all(np.all(np.isfinite(np.asarray(leaf)))
                for leaf in jax.tree.leaves(g))
+
+
+@pytest.mark.parametrize("embed", [0, 16])
+def test_folded_bn_matches_eval_forward(embed):
+    """fold_bn_for_inference is algebraically exact: the folded fast path
+    (zero BN ops) must match the standard eval forward."""
+    cfg = mu.MaskAttnUNetConfig(c_out=5, img_size=16, attn_impl="dense",
+                                embed_dim=embed,
+                                with_boundary_head=embed > 0)
+    params, state = mu.init(jax.random.key(0), cfg)
+    # make running stats non-trivial so folding is actually exercised
+    state = jax.tree.map(
+        lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype
+                                       ).reshape(a.shape) / a.size, state)
+    state = jax.tree_util.tree_map_with_path(
+        lambda p, a: jnp.abs(a) + 0.5 if str(p[-1].key) == "var" else a,
+        state)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    masks = mu.make_attention_masks(jax.random.key(2), 2, 16)
+    ref, _ = mu.apply(params, state, x, cfg=cfg, masks=masks, train=False)
+    folded = mu.fold_bn_for_inference(params, state, cfg)
+    out, _ = mu.apply(folded, None, x, cfg=cfg, masks=masks, train=False,
+                      folded=True)
+    np.testing.assert_allclose(np.asarray(out.semantic),
+                               np.asarray(ref.semantic),
+                               atol=2e-4, rtol=2e-4)
+    if embed:
+        np.testing.assert_allclose(np.asarray(out.embeddings),
+                                   np.asarray(ref.embeddings),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.boundary),
+                                   np.asarray(ref.boundary),
+                                   atol=2e-4, rtol=2e-4)

