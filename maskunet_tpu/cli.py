@@ -25,8 +25,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--workdir", default="runs")
     p.add_argument("--attn-impl", default="auto",
                    choices=["auto", "dense", "flash"])
-    p.add_argument("--compute-dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+    p.add_argument("--compute-dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="auto: bfloat16 on TPU (validated end-to-end, "
+                        "see PARITY.md), float32 elsewhere")
     p.add_argument("--n-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--platform", default=None,
@@ -120,6 +122,15 @@ def main(argv=None) -> int:
     except KeyError as e:
         print(f"error: {e.args[0]}", file=sys.stderr)
         return 2
+
+    if getattr(args, "compute_dtype", None) == "auto":
+        # bf16 is the validated TPU default (same accuracy as f32 on the
+        # end-to-end synthetic convergence run, see PARITY.md) and ~2x
+        # the MXU throughput; f32 elsewhere (CPU matmuls gain nothing)
+        import jax
+        args.compute_dtype = ("bfloat16"
+                              if jax.default_backend() == "tpu"
+                              else "float32")
 
     mesh = None
     if args.n_data is not None:

@@ -145,7 +145,16 @@ def layernorm(params: Params, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def gelu(x: jax.Array) -> jax.Array:
-    return jax.nn.gelu(x, approximate=False)
+    """GELU matching torch nn.GELU (exact erf form) in f32.
+
+    In bf16 the tanh approximation is used instead: its max absolute
+    deviation from exact erf-GELU (~3e-3, near |x|=2) is below bf16's
+    own rounding step (eps ~8e-3), so the results are indistinguishable
+    at bf16 precision — and the erf polynomial costs ~1.5 ms of the
+    ~6 ms conv trunk per batch-8 forward on v5e (tools/trunk_breakdown
+    .py). f32 paths (parity/oracle tests, f32 recipes) keep exact erf.
+    """
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
 
 
 def max_pool_2x(x: jax.Array) -> jax.Array:
@@ -183,10 +192,12 @@ def upsample_2x_bilinear(x: jax.Array) -> jax.Array:
     (ade_semantic.py:235).
     """
     _, h, w, _ = x.shape
-    mh = jnp.asarray(_interp_matrix_np(h, 2 * h), dtype=jnp.float32)
-    mw = jnp.asarray(_interp_matrix_np(w, 2 * w), dtype=jnp.float32)
-    xf = x.astype(jnp.float32)
-    y = jnp.einsum("oh,bhwc->bowc", mh, xf, preferred_element_type=jnp.float32)
+    # matmul inputs stay in the model compute dtype (bf16 MXU rate is
+    # 4-8x the f32 rate); accumulation is f32 via preferred_element_type
+    mh = jnp.asarray(_interp_matrix_np(h, 2 * h), dtype=x.dtype)
+    mw = jnp.asarray(_interp_matrix_np(w, 2 * w), dtype=x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
     y = jnp.einsum("pw,bowc->bopc", mw, y, preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
 

@@ -42,14 +42,19 @@ def _torch_distance(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.sum(jnp.square(a - b + 1e-6), axis=-1))
 
 
-def instance_triplet_loss(features: jax.Array, instance_mask: jax.Array,
-                          rng: jax.Array, *, num_samples: int = 32,
-                          margin: float = 1.0,
-                          ignore_label: int | None = None) -> jax.Array:
-    """features: [B,H,W,C]; instance_mask: [B,H,W] int. Returns scalar."""
-    b, h, w, c = features.shape
-    hw = h * w
-    feats = features.reshape(b, hw, c).astype(jnp.float32)
+def sample_triplets(rng: jax.Array, instance_mask: jax.Array, *,
+                    num_samples: int = 32,
+                    ignore_label: int | None = None
+                    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Draw (anchor, positive, negative) pixel indices per image.
+
+    instance_mask: [B,H,W] int. Returns (a_idx, p_idx, n_idx, weight),
+    each [B, K] with flat-HW indices; weight is 1.0 where the triplet is
+    usable. Split out from the loss so a lockstep parity oracle (torch)
+    can compute the identical loss from the identical samples
+    (tools/training_parity.py)."""
+    b = instance_mask.shape[0]
+    hw = instance_mask.shape[1] * instance_mask.shape[2]
     ids = instance_mask.reshape(b, hw)
 
     valid = ids != 0
@@ -82,6 +87,19 @@ def instance_triplet_loss(features: jax.Array, instance_mask: jax.Array,
     n_ok = jnp.take_along_axis(neg_elig, n_idx[..., None],
                                axis=-1)[..., 0]
 
+    weight = (a_valid & p_ok & n_ok).astype(jnp.float32)
+    return a_idx, p_idx, n_idx, weight
+
+
+def triplet_from_indices(features: jax.Array, a_idx: jax.Array,
+                         p_idx: jax.Array, n_idx: jax.Array,
+                         weight: jax.Array, *,
+                         margin: float = 1.0) -> jax.Array:
+    """TripletMarginLoss over pre-sampled flat pixel indices.
+    features: [B,H,W,C]."""
+    b, h, w, c = features.shape
+    feats = features.reshape(b, h * w, c).astype(jnp.float32)
+
     def gather(idx):
         return jnp.take_along_axis(feats, idx[..., None], axis=1)
 
@@ -89,6 +107,16 @@ def instance_triplet_loss(features: jax.Array, instance_mask: jax.Array,
     d_ap = _torch_distance(a_f, p_f)
     d_an = _torch_distance(a_f, n_f)
     per_triplet = jax.nn.relu(d_ap - d_an + margin)          # [B, K]
-
-    weight = (a_valid & p_ok & n_ok).astype(jnp.float32)
     return jnp.sum(per_triplet * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+
+
+def instance_triplet_loss(features: jax.Array, instance_mask: jax.Array,
+                          rng: jax.Array, *, num_samples: int = 32,
+                          margin: float = 1.0,
+                          ignore_label: int | None = None) -> jax.Array:
+    """features: [B,H,W,C]; instance_mask: [B,H,W] int. Returns scalar."""
+    a_idx, p_idx, n_idx, weight = sample_triplets(
+        rng, instance_mask, num_samples=num_samples,
+        ignore_label=ignore_label)
+    return triplet_from_indices(features, a_idx, p_idx, n_idx, weight,
+                                margin=margin)

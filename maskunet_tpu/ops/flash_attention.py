@@ -53,6 +53,10 @@ _BQ_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BQ", "2048"))
 _BK_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BK", "1024"))
 _BQ_BWD = int(os.environ.get("MASKUNET_FLASH_BQ_BWD", "1024"))
 _BK_BWD = int(os.environ.get("MASKUNET_FLASH_BK_BWD", "1024"))
+# Scoped-VMEM budget for the kernels: the default 16 MB limit is exceeded
+# by ~120 KB at BQ=2048/BK=1024 with some layouts; v5e has 128 MB of
+# VMEM, so grant 64 MB headroom (still leaves half for the pipeline).
+_VMEM_LIMIT = int(os.environ.get("MASKUNET_FLASH_VMEM", str(64 * 2**20)))
 
 
 def _pick_block(l: int, preferred: int) -> int:
@@ -80,7 +84,8 @@ def _block_sizes(lq: int, lk: int, dtype, *,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_sc, m_sc, l_sc, *, scale: float, nk: int):
+                acc_sc, m_sc, l_sc, *, scale: float, nk: int,
+                use_valid: bool = True):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -96,14 +101,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale     # [BQ, BK]
+        preferred_element_type=jnp.float32)             # [BQ, BK]
+    if scale != 1.0:   # compile-time; callers pre-scale q when possible
+        s = s * scale
     s = s + bias                                        # broadcast over rows
-    valid = bias > NEG_INF * 0.5                        # [1, BK]
 
     m_prev = m_sc[:, :1]                                # [BQ, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new) * valid                      # masked keys -> 0
+    p = jnp.exp(s - m_new)
+    if use_valid:
+        # exact zeros for masked keys even in all-masked rows; when every
+        # row is guaranteed >=1 visible key (compacted path), exp
+        # underflow of s-1e30-m already yields exact zeros and this
+        # [BQ, BK] multiply is skipped
+        p = p * (bias > NEG_INF * 0.5)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_sc[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
@@ -120,14 +132,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         lse_ref[0] = (m_sc[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30))).T
 
 
-def _flash_fwd(q, k, v, bias, scale):
+def _flash_fwd(q, k, v, bias, scale, use_valid=True):
     b, lq, c = q.shape
     lk = k.shape[1]
     bq, bk = _block_sizes(lq, lk, q.dtype)
     nq, nk = lq // bq, lk // bk
     grid = (b, nq, nk)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        functools.partial(_fwd_kernel, scale=scale, nk=nk,
+                          use_valid=use_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
@@ -149,7 +162,8 @@ def _flash_fwd(q, k, v, bias, scale):
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret_mode(),
     )(q, k, v, bias)
     return out, lse
@@ -159,8 +173,17 @@ def _flash_fwd(q, k, v, bias, scale):
 # Backward kernels
 # ---------------------------------------------------------------------------
 
+def _scaled_scores(q, k, bias, scale):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        s = s * scale
+    return s + bias
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_sc, *, scale: float, nk: int):
+               dq_ref, dq_sc, *, scale: float, nk: int,
+               use_valid: bool = True):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -172,17 +195,18 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0].T                  # [BQ, 1]
     delta = delta_ref[0].T              # [BQ, 1]
     bias = bias_ref[0]
-    valid = bias > NEG_INF * 0.5
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale + bias
-    p = jnp.exp(s - lse) * valid                                   # [BQ, BK]
+    s = _scaled_scores(q, k, bias, scale)
+    p = jnp.exp(s - lse)                                           # [BQ, BK]
+    if use_valid:
+        p = p * (bias > NEG_INF * 0.5)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)   # [BQ, BK]
     ds = p * (dp - delta)
-    dq_sc[:] += scale * jax.lax.dot_general(
+    dq = jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    dq_sc[:] += dq * scale if scale != 1.0 else dq
 
     @pl.when(ik == nk - 1)
     def _():
@@ -190,7 +214,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_sc, dv_sc, *, scale: float, nq: int):
+                dk_ref, dv_ref, dk_sc, dv_sc, *, scale: float, nq: int,
+                use_valid: bool = True):
     iq = pl.program_id(2)
 
     @pl.when(iq == 0)
@@ -203,20 +228,21 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0].T
     delta = delta_ref[0].T
     bias = bias_ref[0]
-    valid = bias > NEG_INF * 0.5
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale + bias
-    p = jnp.exp(s - lse) * valid                                   # [BQ, BK]
+    s = _scaled_scores(q, k, bias, scale)
+    p = jnp.exp(s - lse)                                           # [BQ, BK]
+    if use_valid:
+        p = p * (bias > NEG_INF * 0.5)
     dv_sc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                        # [BK, C]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta)                                          # [BQ, BK]
-    dk_sc[:] += scale * jax.lax.dot_general(
+    dk = jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    dk_sc[:] += dk * scale if scale != 1.0 else dk
 
     @pl.when(iq == nq - 1)
     def _():
@@ -224,7 +250,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, bias, o, lse, do, scale):
+def _flash_bwd(q, k, v, bias, o, lse, do, scale, use_valid=True):
     b, lq, c = q.shape
     lk = k.shape[1]
     bq, bk = _block_sizes(lq, lk, q.dtype, bwd=True)
@@ -233,7 +259,8 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale):
                     axis=-1, keepdims=False)[:, None, :]      # [B, 1, L]
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, nk=nk),
+        functools.partial(_dq_kernel, scale=scale, nk=nk,
+                          use_valid=use_valid),
         grid=(b, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
@@ -248,12 +275,14 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale):
         out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret_mode(),
     )(q, k, v, bias, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, nq=nq),
+        functools.partial(_dkv_kernel, scale=scale, nq=nq,
+                          use_valid=use_valid),
         grid=(b, nk, nq),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda ib, ik, iq: (ib, iq, 0)),
@@ -277,7 +306,8 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale):
             pltpu.VMEM((bk, c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret_mode(),
     )(q, k, v, bias, do, lse, delta)
     return dq, dk, dv
@@ -287,20 +317,25 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale):
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_mha(q, k, v, bias, scale):
-    out, _ = _flash_fwd(q, k, v, bias, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_mha(q, k, v, bias, scale, use_valid=True):
+    """use_valid=False skips the explicit masked-key zeroing (exp
+    underflow of the -1e30 bias already yields exact zeros) — only legal
+    when every batch row has >=1 visible key (the compacted path
+    guarantees it; compact_keys NaN-poisons empty masks)."""
+    out, _ = _flash_fwd(q, k, v, bias, scale, use_valid)
     return out
 
 
-def _fwd_rule(q, k, v, bias, scale):
-    out, lse = _flash_fwd(q, k, v, bias, scale)
+def _fwd_rule(q, k, v, bias, scale, use_valid):
+    out, lse = _flash_fwd(q, k, v, bias, scale, use_valid)
     return out, (q, k, v, bias, out, lse)
 
 
-def _bwd_rule(scale, res, do):
+def _bwd_rule(scale, use_valid, res, do):
     q, k, v, bias, out, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, bias, out, lse, do, scale)
+    dq, dk, dv = _flash_bwd(q, k, v, bias, out, lse, do, scale,
+                            use_valid)
     return dq, dk, dv, None
 
 
@@ -359,14 +394,18 @@ def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array, *,
     k_c = jnp.take_along_axis(k, idx[..., None], axis=1)
     v_c = jnp.take_along_axis(v, idx[..., None], axis=1)
     total = jnp.sum(ones, axis=1, keepdims=True)
-    overflow = total > cap                         # [B, 1]
-    k_c = jnp.where(overflow[..., None], jnp.nan, k_c)
+    # poison overflow (denser mask than declared) AND empty masks (the
+    # compacted kernel path skips explicit masked-key zeroing, which is
+    # only exact when >=1 key is visible) — wrong output must be loud
+    bad = (total > cap) | (total == 0)             # [B, 1]
+    k_c = jnp.where(bad[..., None], jnp.nan, k_c)
     count = jnp.minimum(total, cap)
     valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < count
     return k_c, v_c, valid
 
 
-def _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis="data"):
+def _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis="data",
+                       use_valid=True):
     """Run the Pallas kernel under an explicit batch-sharded shard_map.
 
     GSPMD cannot partition a pallas_call on its own — under a jit'd mesh
@@ -376,13 +415,13 @@ def _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis="data"):
     not named (e.g. a 'model' TP axis) see replicated execution.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     spec = P(data_axis, None, None)
     # positional closure: custom_vjp functions reject keyword args
-    fn = lambda q_, k_, v_, b_: flash_mha(q_, k_, v_, b_, scale)  # noqa: E731
-    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v, bias)
+    fn = lambda q_, k_, v_, b_: flash_mha(  # noqa: E731
+        q_, k_, v_, b_, scale, use_valid)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v, bias)
 
 
 def masked_attention_flash(params: dict, tokens: jax.Array,
@@ -405,18 +444,36 @@ def masked_attention_flash(params: dict, tokens: jax.Array,
     by itself). Projections/epilogue stay plain XLA (GSPMD handles
     them)."""
     b, l, c = tokens.shape
-    q = layers.linear(params["query"], tokens)
-    k = layers.linear(params["key"], tokens)
-    v = layers.linear(params["value"], tokens)
+    # One fused [C, 3C] projection instead of three [C, C] matmuls: at
+    # C=64 the separate projections use half the MXU's output lanes;
+    # fused they fill 192. The 1/sqrt(C) score scale is folded into the
+    # Q slice: one fewer [BQ, BK] VPU multiply per block in the forward
+    # and both backward kernels (autodiff routes it into dQ here).
+    wqkv = jnp.concatenate([params["query"]["kernel"],
+                            params["key"]["kernel"],
+                            params["value"]["kernel"]],
+                           axis=1).astype(tokens.dtype)
+    bqkv = jnp.concatenate([params["query"]["bias"],
+                            params["key"]["bias"],
+                            params["value"]["bias"]]).astype(tokens.dtype)
+    qkv = jnp.dot(tokens, wqkv) + bqkv
+    q = qkv[..., :c] * (1.0 / (c ** 0.5))
+    k = qkv[..., c:2 * c]
+    v = qkv[..., 2 * c:]
+    use_valid = True
     if (key_mask is not None and mask_density is not None
             and l >= COMPACT_MIN_TOKENS):
         k, v, key_mask = compact_keys(k, v, key_mask,
                                       density=mask_density)
+        # compaction guarantees >=1 visible key per row (empty masks are
+        # NaN-poisoned), so exp underflow of the -1e30 bias zeroes masked
+        # keys exactly and the explicit valid multiply can be skipped
+        use_valid = False
     bias = mask_to_bias(key_mask, b, k.shape[1])
-    scale = 1.0 / (c ** 0.5)
     if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
-        out = _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis)
+        out = _flash_mha_sharded(q, k, v, bias, 1.0, mesh, data_axis,
+                                 use_valid)
     else:
-        out = flash_mha(q, k, v, bias, scale)
+        out = flash_mha(q, k, v, bias, 1.0, use_valid)
     out = out + tokens
     return layers.layernorm(params["norm"], out)

@@ -19,8 +19,36 @@ import jax  # noqa: E402
 # registered; the config update forces the CPU backend regardless.
 jax.config.update("jax_platforms", "cpu")
 
+from maskunet_tpu.utils import compile_cache  # noqa: E402
+
+# Persistent XLA compile cache: the suite is dominated by CPU compiles of
+# the full model (~20-40 s each); a warm cache cuts default wall time from
+# ~15 min to ~2-3 min.
+compile_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked @pytest.mark.slow")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long integration test, deselected by default "
+        "(run with --runslow or -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow (use --runslow or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -140,3 +140,18 @@ def test_init_matches_torch_distribution():
     k = np.asarray(p["kernel"])
     assert k.min() >= -bound and k.max() <= bound
     assert abs(k.std() - bound / 3 ** 0.5) < 0.05 * bound
+
+
+def test_bf16_gelu_within_bf16_precision():
+    """The bf16 tanh-GELU fast path deviates from exact erf-GELU by less
+    than bf16's own rounding error."""
+    import jax.numpy as jnp
+
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    exact = layers.gelu(x)                                   # f32 -> erf
+    fast = layers.gelu(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    # bf16 eps at |x|<=6 is ~0.008*|x|; allow abs 0.05 to cover rounding
+    assert float(jnp.max(jnp.abs(fast - exact))) < 0.05
+    # and the tanh approximation itself (f32) is within 4e-3 of erf
+    approx = jax.nn.gelu(x, approximate=True)
+    assert float(jnp.max(jnp.abs(approx - exact))) < 4e-3

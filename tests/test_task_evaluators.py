@@ -9,6 +9,9 @@ from maskunet_tpu.tasks import evaluators, recipes as recipes_lib
 from maskunet_tpu.train import loop
 
 
+pytestmark = pytest.mark.slow   # module fixture trains for ~2 min
+
+
 @pytest.fixture(scope="module")
 def trained_panoptic():
     rec = dataclasses.replace(recipes_lib.get("synthetic_panoptic"),

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from maskunet_tpu.core import checkpoint, state as state_lib
 from maskunet_tpu.models import maskattn_unet as mu
@@ -38,6 +39,7 @@ def _synthetic_batch(cfg, batch=4, seed=0, with_instance=False):
     return out
 
 
+@pytest.mark.slow
 def test_loss_decreases_semantic():
     cfg, task, tx, ts = _setup()
     train_step = jax.jit(step_lib.make_train_step(cfg, task, tx))
@@ -144,6 +146,7 @@ def test_early_stopping_and_overfit_guard():
     assert og(0.35)
 
 
+@pytest.mark.slow
 def test_warm_start_via_loop(tmp_path):
     """Cross-task warm start: 3-head panoptic checkpoint -> semantic run
     (the city_semantic.py:333-338 capability, structure-independent)."""
@@ -169,6 +172,7 @@ def test_warm_start_via_loop(tmp_path):
     assert res.history[0]["miou"] > 0.4
 
 
+@pytest.mark.slow
 def test_training_dynamics_match_torch_oracle():
     """Lockstep training parity: same weights, batches, masks -> per-step
     losses match torch (AdamW + BN stats + grads through all layers)."""

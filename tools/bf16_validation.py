@@ -1,0 +1,67 @@
+"""bf16-vs-f32 end-to-end training validation (VERDICT r1 #4).
+
+Trains the synthetic_panoptic recipe to convergence twice — once at
+compute_dtype=float32, once at bfloat16 — with identical seeds/data, then
+evaluates PQ / AP / mIoU for both. The claim under test: bf16 (the TPU
+throughput configuration) reaches f32-equivalent accuracy, so the
+advertised throughput and the advertised accuracy come from the SAME
+configuration.
+
+    python tools/bf16_validation.py [epochs] [img_size]
+
+Writes a JSON summary line; paste the table into PARITY.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(dtype: str, epochs: int, img: int) -> dict:
+    from maskunet_tpu.tasks import evaluators, recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_panoptic"),
+                              img_size=img, lr=3e-3)
+    workdir = tempfile.mkdtemp(prefix=f"bf16val_{dtype}_")
+    res = loop.train(rec, None, workdir, max_epochs=epochs, log_every=0,
+                     verbose=False, compute_dtype=dtype)
+    sem = evaluators.evaluate_semantic(rec, None, res.state)
+    pan = evaluators.evaluate_panoptic(rec, None, res.state)
+    return {
+        "dtype": dtype,
+        "train_loss": round(res.history[-1]["loss"], 4),
+        "miou": round(sem["miou"], 4),
+        "pq": round(pan["pq"]["All"]["pq"], 4),
+        "pq_things": round(pan["pq"]["Things"]["pq"], 4),
+        "ap": round(pan["ap"]["AP"], 4),
+        "images_per_sec": round(res.images_per_sec, 1),
+    }
+
+
+def main() -> None:
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    img = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    f32 = run("float32", epochs, img)
+    bf16 = run("bfloat16", epochs, img)
+    print(json.dumps({"f32": f32, "bf16": bf16}))
+    for k in ("miou", "pq", "ap"):
+        d = abs(f32[k] - bf16[k])
+        print(f"{k}: f32={f32[k]} bf16={bf16[k]} |delta|={d:.4f}")
+    ok = (abs(f32["pq"] - bf16["pq"]) < 0.03
+          and abs(f32["miou"] - bf16["miou"]) < 0.03
+          and abs(f32["ap"] - bf16["ap"]) < 0.04)
+    print("bf16 parity:", "PASS" if ok else "FAIL")
+
+
+if __name__ == "__main__":
+    main()
