@@ -141,6 +141,16 @@ class CheckpointManager:
         if not self.async_saves:
             save(path, state)
             return path
+        # D2H must complete before returning: a later (donating) train
+        # step deletes these device buffers, so the values have to be on
+        # the host first. Kick off ALL leaf copies asynchronously, then
+        # gather — the transfers overlap instead of running serially
+        # inside device_get. Serialization + the atomic write (the slow,
+        # disk-bound part) still happen on the background thread.
+        for leaf in jax.tree.leaves(state):
+            copy_async = getattr(leaf, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
         host_state = jax.device_get(state)
         prev = self._pending.get(tag)
         if prev is not None:

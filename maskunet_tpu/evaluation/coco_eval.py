@@ -64,36 +64,75 @@ class COCOEvaluator:
         self.eval: dict = {}
 
     # ------------------------------------------------------------------
-    def evaluate(self) -> None:
-        max_det = max(self.p.max_dets)
-        for cat in self.cat_ids:
-            for img in self.img_ids:
-                for a_idx, a_rng in enumerate(self.p.area_rng):
-                    self._eval_imgs[(img, cat, a_idx)] = self._evaluate_img(
-                        img, cat, a_rng, max_det)
+    def evaluate(self, num_threads: int | None = None) -> None:
+        """Match detections per (image, category) pair.
 
-    def _evaluate_img(self, img, cat, a_rng, max_det):
+        Scales to real COCO: only the (img, cat) pairs that actually
+        carry gts or dts are visited (the dense cats x imgs x areas loop
+        is 133 x 10k x 4 = 5.3M mostly-empty calls at COCO size), the
+        mask IoU matrix is computed ONCE per pair and shared by all four
+        area ranges, and pairs are fanned out over threads (the native
+        RLE IoU kernel releases the GIL). `num_threads=None` picks
+        min(8, cpu count); pass 1 to force serial.
+        """
+        import concurrent.futures
+        import os as _os
+
+        max_det = max(self.p.max_dets)
+        keys = sorted(set(self.gts) | set(self.dts))
+        if num_threads is None:
+            num_threads = min(8, _os.cpu_count() or 1)
+
+        def work(key):
+            img, cat = key
+            return key, self._evaluate_pair(img, cat, max_det)
+
+        if num_threads > 1 and len(keys) > 64:
+            with concurrent.futures.ThreadPoolExecutor(num_threads) as ex:
+                results = list(ex.map(work, keys, chunksize=64))
+        else:
+            results = [work(k) for k in keys]
+        self._by_cat_area = {}
+        for (img, cat), per_area in results:   # img-ascending per cat
+            for a_idx, entry in enumerate(per_area):
+                self._eval_imgs[(img, cat, a_idx)] = entry
+                if entry is not None:
+                    self._by_cat_area.setdefault((cat, a_idx),
+                                                 []).append(entry)
+
+    def _evaluate_pair(self, img, cat, max_det) -> list:
+        """All area-range entries for one (image, category): sort, IoU
+        and per-object areas computed once, matching per range."""
         gts = self.gts.get((img, cat), [])
         dts = self.dts.get((img, cat), [])
         if not gts and not dts:
-            return None
+            return [None] * len(self.p.area_rng)
+        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
+        iscrowd_raw = [bool(g.get("iscrowd", 0)) for g in gts]
+        if gts and dts:
+            ious_raw = rle_lib.iou([d["segmentation"] for d in dts],
+                                   [g["segmentation"] for g in gts],
+                                   iscrowd_raw)
+        else:
+            ious_raw = np.zeros((len(dts), len(gts)))
+        g_areas = [g.get("area", None) or rle_lib.area(g["segmentation"])
+                   for g in gts]
+        d_areas = [d.get("area", None) or rle_lib.area(d["segmentation"])
+                   for d in dts]
+        return [self._match_range(gts, dts, ious_raw, iscrowd_raw,
+                                  g_areas, d_areas, a_rng)
+                for a_rng in self.p.area_rng]
+
+    def _match_range(self, gts, dts, ious_raw, iscrowd_raw, g_areas,
+                     d_areas, a_rng):
         gt_ignore = np.array([
-            bool(g.get("iscrowd", 0)) or not (
-                a_rng[0] <= g.get("area", rle_lib.area(g["segmentation"]))
-                <= a_rng[1])
-            for g in gts], dtype=bool)
+            crowd or not (a_rng[0] <= area <= a_rng[1])
+            for crowd, area in zip(iscrowd_raw, g_areas)], dtype=bool)
         # ignore-last gt order (pycocotools gtind sort)
         order_g = np.argsort(gt_ignore, kind="stable")
-        gts = [gts[i] for i in order_g]
         gt_ignore = gt_ignore[order_g]
-        iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
-
-        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-        if gts and dts:
-            ious = rle_lib.iou([d["segmentation"] for d in dts],
-                               [g["segmentation"] for g in gts], iscrowd)
-        else:
-            ious = np.zeros((len(dts), len(gts)))
+        iscrowd = [iscrowd_raw[i] for i in order_g]
+        ious = ious_raw[:, order_g] if len(gts) and len(dts) else ious_raw
 
         t_count = len(self.p.iou_thrs)
         dt_match = np.zeros((t_count, len(dts)), dtype=np.int64)
@@ -119,9 +158,8 @@ class COCOEvaluator:
                 dt_ignore[t_idx, d_idx] = gt_ignore[m]
         # unmatched dts outside the area range are ignored too
         dt_out_of_rng = np.array([
-            not (a_rng[0] <= d.get(
-                "area", rle_lib.area(d["segmentation"])) <= a_rng[1])
-            for d in dts], dtype=bool) if dts else np.zeros(0, bool)
+            not (a_rng[0] <= area <= a_rng[1])
+            for area in d_areas], dtype=bool) if dts else np.zeros(0, bool)
         dt_ignore |= (dt_match == 0) & dt_out_of_rng[None, :]
         return {
             "scores": np.array([d["score"] for d in dts]),
@@ -137,11 +175,15 @@ class COCOEvaluator:
         k_n, a_n, m_n = len(self.cat_ids), len(p.area_rng), len(p.max_dets)
         precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
         recall = -np.ones((t_n, k_n, a_n, m_n))
+        by_cat_area = getattr(self, "_by_cat_area", None)
         for k_idx, cat in enumerate(self.cat_ids):
             for a_idx in range(a_n):
-                entries = [self._eval_imgs.get((img, cat, a_idx))
-                           for img in self.img_ids]
-                entries = [e for e in entries if e is not None]
+                if by_cat_area is not None:
+                    entries = by_cat_area.get((cat, a_idx), [])
+                else:   # evaluate() not called through the sparse path
+                    entries = [self._eval_imgs.get((img, cat, a_idx))
+                               for img in self.img_ids]
+                    entries = [e for e in entries if e is not None]
                 if not entries:
                     continue
                 for m_idx, max_det in enumerate(p.max_dets):

@@ -144,13 +144,37 @@ def pq_summarize(stats: dict[int, PQStatCat],
 def pq_compute(images: list[tuple[np.ndarray, list[dict],
                                   np.ndarray, list[dict]]],
                things: set[int] | None = None,
-               void: int = VOID) -> dict[str, dict]:
+               void: int = VOID,
+               num_threads: int | None = None) -> dict[str, dict]:
     """Full pq_compute over (gt_map, gt_segments, pred_map, pred_segments)
-    tuples."""
-    stats: dict[int, PQStatCat] = {}
-    for gt_map, gt_segs, pred_map, pred_segs in images:
-        pq_compute_single_image(gt_map, gt_segs, pred_map, pred_segs,
-                                stats, void=void)
+    tuples. Images are independent, so large runs fan out over threads
+    (the np.unique histogram releases the GIL); per-thread stats merge
+    additively. `num_threads=None` threads only beyond 64 images."""
+    import concurrent.futures
+    import os as _os
+
+    def run_chunk(chunk) -> dict[int, PQStatCat]:
+        local: dict[int, PQStatCat] = {}
+        for gt_map, gt_segs, pred_map, pred_segs in chunk:
+            pq_compute_single_image(gt_map, gt_segs, pred_map, pred_segs,
+                                    local, void=void)
+        return local
+
+    n = num_threads if num_threads is not None else (
+        min(8, _os.cpu_count() or 1) if len(images) > 64 else 1)
+    if n <= 1:
+        stats = run_chunk(images)
+    else:
+        chunks = [images[i::n] for i in range(n)]
+        stats = {}
+        with concurrent.futures.ThreadPoolExecutor(n) as ex:
+            for local in ex.map(run_chunk, chunks):
+                for cat, s in local.items():
+                    agg = stats.setdefault(cat, PQStatCat())
+                    agg.iou += s.iou
+                    agg.tp += s.tp
+                    agg.fp += s.fp
+                    agg.fn += s.fn
     return pq_summarize(stats, things)
 
 

@@ -267,3 +267,24 @@ def test_ckpt_every_decoupled_from_log_every(tmp_path, monkeypatch):
                    log_every=0, ckpt_every=2, verbose=False)
     # intra-epoch saves at i=2 and i=4 plus the epoch-end save
     assert len(calls) >= 3
+
+
+def test_async_save_safe_under_donation(tmp_path):
+    """An async save must capture the state's values even though the very
+    next (donating) train step invalidates the device buffers — the D2H
+    copies are enqueued before the step can reuse them."""
+    cfg, task, tx, ts = _setup()
+    train_step = jax.jit(step_lib.make_train_step(cfg, task, tx),
+                         donate_argnums=(0,))
+    batch = _synthetic_batch(cfg)
+    ts, _ = train_step(ts, batch)
+    snapshot = jax.device_get(ts.params["initial"]["conv1"]["kernel"])
+
+    manager = checkpoint.CheckpointManager(str(tmp_path), "donated")
+    manager.save_latest(ts)              # async; do NOT wait
+    ts, _ = train_step(ts, batch)        # donates the saved state's buffers
+    manager.wait()
+    restored = manager.restore(ts, "latest")
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["initial"]["conv1"]["kernel"]),
+        snapshot)

@@ -55,11 +55,14 @@ def main() -> None:
     bf16 = run("bfloat16", epochs, img)
     print(json.dumps({"f32": f32, "bf16": bf16}))
     for k in ("miou", "pq", "ap"):
-        d = abs(f32[k] - bf16[k])
-        print(f"{k}: f32={f32[k]} bf16={bf16[k]} |delta|={d:.4f}")
-    ok = (abs(f32["pq"] - bf16["pq"]) < 0.03
-          and abs(f32["miou"] - bf16["miou"]) < 0.03
-          and abs(f32["ap"] - bf16["ap"]) < 0.04)
+        print(f"{k}: f32={f32[k]} bf16={bf16[k]} "
+              f"delta={bf16[k] - f32[k]:+.4f}")
+    # one-sided gate: the claim under test is "bf16 reaches f32-level
+    # accuracy"; bf16 exceeding f32 (happens — e.g. PQ +0.08 on the
+    # 2026-08 run) is not a failure
+    ok = (bf16["pq"] >= f32["pq"] - 0.03
+          and bf16["miou"] >= f32["miou"] - 0.03
+          and bf16["ap"] >= f32["ap"] - 0.04)
     print("bf16 parity:", "PASS" if ok else "FAIL")
 
 
