@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                     help="disable the in-RAM decoded-example cache")
     tp.add_argument("--eval-every", type=int, default=None,
                     help="run validation every N epochs (logged as val_*)")
+    tp.add_argument("--eval-max-batches", type=int, default=8,
+                    help="batches per in-training validation pass "
+                         "(val_* metrics are estimates over this sample; "
+                         "val_sample_images is logged alongside)")
     tp.add_argument("--init-from", default=None,
                     help="warm-start params from another run's checkpoint")
     tp.add_argument("--init-drop", nargs="*", default=[],
@@ -146,6 +150,7 @@ def main(argv=None) -> int:
             compute_dtype=args.compute_dtype, resume=args.resume,
             log_every=args.log_every, data_fraction=args.data_fraction,
             debug_nan=args.debug_nan, eval_every=args.eval_every,
+            eval_max_batches=args.eval_max_batches,
             init_from=args.init_from, init_drop=tuple(args.init_drop),
             cache_examples=not args.no_cache)
         print(json.dumps({

@@ -66,6 +66,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           data_fraction: float = 1.0,
           debug_nan: bool = False,
           eval_every: int | None = None,
+          eval_max_batches: int = 8,
           init_from: str | None = None,
           init_drop: tuple[str, ...] = (),
           cache_examples: bool = True) -> TrainResult:
@@ -171,14 +172,20 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         if eval_every and (epoch + 1) % eval_every == 0:
             # periodic in-training validation (the reference's
             # coco_instance in-loop eval pattern writing train_ap_results
-            # .txt, coco_instance.py:345-367)
+            # .txt, coco_instance.py:345-367). val_pq/val_ap are
+            # estimates over eval_max_batches * batch_size images — the
+            # sample size is recorded alongside so logs are not mistaken
+            # for full-split numbers.
             val = _evaluate_state(recipe, cfg, ts, val_ds,
-                                  sharding=sharding, max_batches=8)
+                                  sharding=sharding,
+                                  max_batches=eval_max_batches)
             record.update({f"val_{k}": v for k, v in val.items()})
+            record["val_sample_images"] = min(
+                eval_max_batches * recipe.batch_size, len(val_ds))
             if recipe.task == "panoptic":
                 from maskunet_tpu.tasks import evaluators
                 pan = evaluators.evaluate_panoptic(
-                    recipe, data_root, ts, max_batches=2,
+                    recipe, data_root, ts, max_batches=eval_max_batches,
                     attn_impl=attn_impl)
                 record["val_pq"] = pan["pq"]["All"]["pq"]
                 record["val_ap"] = pan["ap"]["AP"]
@@ -187,7 +194,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 q = recipe.eval_max_queries[-1]
                 inst = evaluators.evaluate_instances(
                     recipe, data_root, ts, max_queries=(q,),
-                    max_batches=2, attn_impl=attn_impl)
+                    max_batches=eval_max_batches, attn_impl=attn_impl)
                 record["val_ap"] = inst[q]["AP"]
         history.append(record)
         logger.log(record)

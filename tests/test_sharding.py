@@ -81,6 +81,7 @@ def test_batch_sharding_layout():
     assert shard_shapes == {(1, 4, 4, 3)}
 
 
+@pytest.mark.slow
 def test_evaluate_with_mesh_matches_single_device():
     """Sharded evaluation (batch over `data`) equals single-device."""
     import dataclasses

@@ -66,6 +66,7 @@ def test_panoptic_blend_runs():
     assert "triplet_loss" in metrics
 
 
+@pytest.mark.slow
 def test_instance_embed_variant_runs():
     cfg = mu.MaskAttnUNetConfig(c_out=4, img_size=16, embed_dim=16,
                                 with_boundary_head=True, attn_impl="dense")
@@ -245,6 +246,7 @@ def test_async_checkpoint_save_failure_raises(tmp_path):
     assert manager.has("latest")
 
 
+@pytest.mark.slow
 def test_ckpt_every_decoupled_from_log_every(tmp_path, monkeypatch):
     """Intra-epoch checkpoints fire on their own cadence even with
     log_every=0 (the reference nests them; decoupled here by design)."""

@@ -1,0 +1,95 @@
+"""Ablation breakdown of the training step (fwd+bwd+AdamW) on the chip.
+
+Same-process A/B with attention layers selectively removed, plus a
+no-metrics and no-dropout variant, to locate the backward-pass time.
+
+    python tools/train_breakdown.py [batch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from maskunet_tpu.core import state as state_lib
+    from maskunet_tpu.models import maskattn_unet as mu
+    from maskunet_tpu.ops import attention
+    from maskunet_tpu.train import step as step_lib
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cfg = mu.MaskAttnUNetConfig(c_out=150, img_size=128,
+                                compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (batch, 128, 128, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 150, (batch, 128, 128)))
+    batch_data = {"image": x, "label": labels}
+    tx = optax.adamw(5e-5, weight_decay=1e-1)
+
+    orig = attention.spatial_attention
+
+    def timed_step(mode):
+        def patched(p, xx, km, *, impl="dense", mesh=None):
+            l = xx.shape[1] * xx.shape[2]
+            if mode == "noattn":
+                return xx
+            if mode == "no16k" and l == 16384:
+                return xx
+            if mode == "no4k" and l == 4096:
+                return xx
+            return orig(p, xx, km, impl=impl, mesh=mesh)
+
+        attention.spatial_attention = patched
+        try:
+            params, mstate = mu.init(jax.random.key(0), cfg)
+            masks = mu.make_attention_masks(jax.random.key(1), batch, 128)
+            ts = state_lib.create(jax.random.key(2), params, mstate, tx,
+                                  masks=masks)
+            dropout_rate = 0.0 if mode == "nodrop" else cfg.dropout_rate
+            import dataclasses
+            cfg2 = dataclasses.replace(cfg, dropout_rate=dropout_rate)
+            train_step = jax.jit(
+                step_lib.make_train_step(cfg2, step_lib.TaskConfig(), tx),
+                donate_argnums=(0,))
+            ts, m = train_step(ts, batch_data)
+            jax.block_until_ready(m["loss"])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(15):
+                    ts, m = train_step(ts, batch_data)
+                jax.block_until_ready(m["loss"])
+                best = min(best, (time.perf_counter() - t0) / 15)
+            return best, float(m["loss"])
+        finally:
+            attention.spatial_attention = orig
+
+    results = {}
+    for mode in ["full", "noattn", "no16k", "no4k", "nodrop"]:
+        ms, loss = timed_step(mode)
+        results[mode] = ms
+        print(f"{mode:8s} {ms * 1e3:7.2f} ms/step  "
+              f"({batch / ms:6.1f} img/s)  loss={loss:.4f}", flush=True)
+
+    full = results["full"]
+    print(f"\nattn total fwd+bwd : {(full - results['noattn']) * 1e3:6.2f} ms")
+    print(f"attn6 fwd+bwd      : {(full - results['no16k']) * 1e3:6.2f} ms")
+    print(f"attn1/5 fwd+bwd    : {(full - results['no4k']) * 1e3:6.2f} ms")
+    print(f"conv+opt (noattn)  : {results['noattn'] * 1e3:6.2f} ms")
+    print(f"dropout cost       : {(full - results['nodrop']) * 1e3:6.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
