@@ -9,7 +9,10 @@ configs:
         --data-root /data/ADEK --workdir runs/ade [--max-steps N]
     python -m maskunet_tpu.cli evaluate --recipe ade_semantic \
         --data-root /data/ADEK --workdir runs/ade [--tag best]
-    python -m maskunet_tpu.cli bench [--batch-size N]
+    python -m maskunet_tpu.cli visualize --recipe ... --workdir runs/ade
+    python -m maskunet_tpu.cli predict --recipe ... --images dir/ --out masks/
+    python -m maskunet_tpu.serve --recipe ... --port 8799   # HTTP serving
+    python bench.py [batch]                   # one-line JSON throughput
 """
 
 from __future__ import annotations

@@ -33,8 +33,19 @@ class _Batcher:
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "errors": 0, "batches": 0,
+                      "batched_images": 0, "run_ms_ema": 0.0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def metrics(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+        s["avg_batch_fill"] = (s["batched_images"] / s["batches"]
+                               / self.batch_size if s["batches"] else 0.0)
+        s["queue_depth"] = self._q.qsize()
+        return s
 
     PREDICT_TIMEOUT_S = 60.0
 
@@ -64,6 +75,7 @@ class _Batcher:
             # batch assembly inside the try: a malformed request (wrong
             # shape/dtype) must fail its batch, not kill this singleton
             # worker thread and hang every future predict()
+            t0 = time.monotonic()
             try:
                 images = np.stack([im for im, _, _ in items])
                 pad = self.batch_size - len(items)
@@ -74,10 +86,21 @@ class _Batcher:
                 for i, (_, slot, done) in enumerate(items):
                     slot["result"] = np.asarray(preds[i])
                     done.set()
+                with self._lock:
+                    self.stats["requests"] += len(items)
             except Exception as e:  # noqa: BLE001
                 for _, slot, done in items:
                     slot["error"] = repr(e)
                     done.set()
+                with self._lock:
+                    self.stats["errors"] += len(items)
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batched_images"] += len(items)
+                ms = (time.monotonic() - t0) * 1e3
+                ema = self.stats["run_ms_ema"]
+                self.stats["run_ms_ema"] = round(
+                    ms if ema == 0.0 else 0.9 * ema + 0.1 * ms, 2)
 
 
 def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
@@ -143,13 +166,18 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int):
                 body = json.dumps({"status": "ok",
                                    "img_size": img_size,
                                    "num_classes": num_classes}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path == "/metrics":
+                # serving observability: request/error counts, batch fill
+                # ratio (how full the TPU batches run), model time EMA
+                body = json.dumps(batcher.metrics()).encode()
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             if self.path != "/predict":

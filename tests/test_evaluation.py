@@ -265,3 +265,52 @@ def test_save_panoptic_predictions(tmp_path):
     from maskunet_tpu.data.coco import rgb2id
     rgb = cv2.cvtColor(cv2.imread(png), cv2.COLOR_BGR2RGB)
     np.testing.assert_array_equal(rgb2id(rgb), pan)
+
+
+# ---------------------------------------------------------------------------
+# threaded evaluation determinism
+# ---------------------------------------------------------------------------
+
+def _many_annotations(n_images=40, n_cats=6, seed=0):
+    rng = np.random.default_rng(seed)
+    gts, dts = [], []
+    for img in range(n_images):
+        for _ in range(4):
+            cat = int(rng.integers(1, n_cats + 1))
+            m = np.zeros((32, 32), np.uint8)
+            y, x = int(rng.integers(0, 20)), int(rng.integers(0, 20))
+            m[y:y + 10, x:x + 10] = 1
+            gts.append({"image_id": img, "category_id": cat,
+                        "segmentation": rle.encode(m), "area": 100})
+            md = np.roll(m, int(rng.integers(-2, 3)), axis=0)
+            dts.append({"image_id": img, "category_id": cat,
+                        "segmentation": rle.encode(md), "area": 100,
+                        "score": float(rng.random())})
+    return gts, dts
+
+
+def test_evaluate_ap_threaded_equals_serial():
+    """The sparse/threaded evaluate() path is bit-identical to serial."""
+    gts, dts = _many_annotations()
+    serial = coco_eval.COCOEvaluator(gts, dts)
+    serial.evaluate(num_threads=1)
+    serial.accumulate()
+    threaded = coco_eval.COCOEvaluator(gts, dts)
+    threaded.evaluate(num_threads=8)
+    threaded.accumulate()
+    assert serial.summarize() == threaded.summarize()
+
+
+def test_pq_threaded_equals_serial():
+    rng = np.random.default_rng(3)
+    images = []
+    for _ in range(80):
+        gt = rng.integers(0, 4, (24, 24)).astype(np.int64)
+        pred = gt.copy()
+        pred[:6] = (pred[:6] + 1) % 4
+        segs_g = [{"id": i, "category_id": i} for i in range(1, 4)]
+        segs_p = [{"id": i, "category_id": i} for i in range(1, 4)]
+        images.append((gt, segs_g, pred, segs_p))
+    serial = panoptic.pq_compute(images, num_threads=1)
+    threaded = panoptic.pq_compute(images, num_threads=8)
+    assert serial == threaded

@@ -128,3 +128,17 @@ def test_batcher_survives_malformed_request():
     assert batcher._thread.is_alive()
     out = batcher.predict(good)             # still serving
     assert out.shape == (8, 8)
+
+
+def test_metrics_endpoint(server):
+    img = np.random.default_rng(5).integers(
+        0, 255, (32, 32, 3)).astype(np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    _png_mask(server, jpg.tobytes())
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        import json
+        m = json.loads(r.read())
+    assert m["requests"] >= 1
+    assert m["batches"] >= 1
+    assert 0.0 < m["avg_batch_fill"] <= 1.0
+    assert m["run_ms_ema"] > 0.0
