@@ -73,13 +73,16 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
                           train=False, folded=True)
         return out.semantic
 
-    forward(infer_params, x).block_until_ready()
+    # a scalar host fetch is the timing fence: block_until_ready through
+    # the axon tunnel has intermittently returned early (impossible
+    # sub-ms "step times"), and a fetch cannot lie
+    float(forward(infer_params, x)[0, 0, 0, 0])
     for _ in range(warmup):
-        forward(infer_params, x).block_until_ready()
+        float(forward(infer_params, x)[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(steps):
         out = forward(infer_params, x)
-    out.block_until_ready()
+    float(out[0, 0, 0, 0])
     infer_ips = batch * steps / (time.perf_counter() - t0)
 
     # --- training ---
@@ -90,11 +93,11 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
         donate_argnums=(0,))
     batch_data = {"image": x, "label": labels}
     ts, m = train_step(ts, batch_data)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         ts, m = train_step(ts, batch_data)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])                       # fetch = reliable fence
     train_ips = batch * steps / (time.perf_counter() - t0)
 
     return backend, infer_ips, train_ips
