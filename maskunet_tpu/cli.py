@@ -59,6 +59,9 @@ def main(argv=None) -> int:
                     help="raise on non-finite step metrics")
     tp.add_argument("--no-cache", action="store_true",
                     help="disable the in-RAM decoded-example cache")
+    tp.add_argument("--grad-accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step "
+                         "(effective batch = batch_size * grad_accum)")
     tp.add_argument("--eval-every", type=int, default=None,
                     help="run validation every N epochs (logged as val_*)")
     tp.add_argument("--eval-max-batches", type=int, default=8,
@@ -151,6 +154,7 @@ def main(argv=None) -> int:
             max_steps=args.max_steps, max_epochs=args.max_epochs,
             mesh=mesh, attn_impl=args.attn_impl,
             compute_dtype=args.compute_dtype, resume=args.resume,
+            grad_accum=args.grad_accum,
             log_every=args.log_every, data_fraction=args.data_fraction,
             debug_nan=args.debug_nan, eval_every=args.eval_every,
             eval_max_batches=args.eval_max_batches,

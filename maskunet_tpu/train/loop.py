@@ -61,6 +61,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           max_steps: int | None = None, max_epochs: int | None = None,
           mesh=None, attn_impl: str = "auto",
           compute_dtype: str = "float32", resume: bool = False,
+          grad_accum: int = 1,
           log_every: int = 500, ckpt_every: int = 2000,
           num_io_threads: int = 4, verbose: bool = True,
           data_fraction: float = 1.0,
@@ -108,8 +109,10 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         ts = mesh_lib.put_replicated(mesh, ts)
         sharding = mesh_lib.batch_sharding(mesh)
 
-    train_step = jax.jit(step_lib.make_train_step(cfg, recipe.task_config, tx, mesh=mesh),
-                         donate_argnums=(0,))
+    train_step = jax.jit(
+        step_lib.make_train_step(cfg, recipe.task_config, tx, mesh=mesh,
+                                 grad_accum=grad_accum),
+        donate_argnums=(0,))
     logger = metrics_log.MetricsLogger(workdir, f"train_{recipe.name}")
     meter = metrics_log.Throughput()
     # `current` indirection: the callback must save the state at call time,
@@ -119,9 +122,12 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                           on_improve=lambda: manager.save_best(current["ts"]))
     guard = OverfitGuard(recipe.overfit_margin)
 
+    # grad_accum > 1: the loop feeds grad_accum * batch_size examples per
+    # step; the step splits them into microbatches (masks stay sized for
+    # recipe.batch_size)
     batches = pipeline.BatchIterator(
-        train_ds, recipe.batch_size, shuffle=True, seed=recipe.seed,
-        drop_last=True, num_threads=num_io_threads)
+        train_ds, recipe.batch_size * grad_accum, shuffle=True,
+        seed=recipe.seed, drop_last=True, num_threads=num_io_threads)
     history: list[dict] = []
     best_loss, best_iou = float("inf"), 0.0
     steps_done = 0
@@ -136,7 +142,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 batch.pop("valid", None)
                 ts, metrics = train_step(ts, batch)
                 current["ts"] = ts
-                meter.step(recipe.batch_size)
+                meter.step(recipe.batch_size * grad_accum)
                 loss = float(metrics["loss"])
                 iou = float(metrics["miou"])
                 if debug_nan:

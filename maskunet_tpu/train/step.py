@@ -66,33 +66,70 @@ def _compute_loss(out: model.ModelOutput, batch: dict, task: TaskConfig,
 
 
 def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
-                    tx, mesh=None
+                    tx, mesh=None, grad_accum: int = 1
                     ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Returns a pure step(ts, batch) -> (ts, metrics), ready for jit/pjit.
-    `mesh` enables in-model sharding annotations (DP batch + bottleneck TP)."""
+    `mesh` enables in-model sharding annotations (DP batch + bottleneck TP).
 
-    def step(ts: TrainState, batch: dict):
-        rng = jax.random.fold_in(ts.rng, ts.step)
-        mask_rng, dropout_rng, triplet_rng = jax.random.split(rng, 3)
-        if task.mask_policy == "fresh" or ts.masks is None:
-            masks = model.make_attention_masks(
-                mask_rng, batch["image"].shape[0], cfg.img_size)
-        else:
-            masks = ts.masks
+    `grad_accum > 1`: the batch's leading dim is split into that many
+    microbatches processed sequentially under `lax.scan`; gradients are
+    averaged into ONE optimizer update (large effective batches beyond
+    per-chip memory). The cached attention masks apply per microbatch, so
+    `ts.masks` must be sized for batch/grad_accum. BatchNorm batch
+    statistics are per-microbatch (running stats thread through the scan)
+    — the same semantics as per-replica BN, documented divergence from a
+    monolithic large batch."""
 
+    def grads_and_metrics(params, mstate, batch, masks, dropout_rng,
+                          triplet_rng):
         def loss_fn(params):
             out, new_mstate = model.apply(
-                params, ts.model_state, batch["image"], cfg=cfg,
+                params, mstate, batch["image"], cfg=cfg,
                 masks=masks, train=True, dropout_rng=dropout_rng, mesh=mesh)
             loss, metrics = _compute_loss(out, batch, task, triplet_rng)
             return loss, (metrics, new_mstate, out)
 
         grads, (metrics, new_mstate, out) = jax.grad(
-            loss_fn, has_aux=True)(ts.params)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
+            loss_fn, has_aux=True)(params)
         metrics["miou"] = metrics_ops.mean_iou(
             out.semantic, batch["label"], cfg.c_out)
+        return grads, metrics, new_mstate
+
+    def step(ts: TrainState, batch: dict):
+        rng = jax.random.fold_in(ts.rng, ts.step)
+        mask_rng, dropout_rng, triplet_rng = jax.random.split(rng, 3)
+        micro = batch["image"].shape[0] // grad_accum
+        if task.mask_policy == "fresh" or ts.masks is None:
+            masks = model.make_attention_masks(mask_rng, micro,
+                                               cfg.img_size)
+        else:
+            masks = ts.masks
+
+        if grad_accum == 1:
+            grads, metrics, new_mstate = grads_and_metrics(
+                ts.params, ts.model_state, batch, masks, dropout_rng,
+                triplet_rng)
+        else:
+            stacked = {k: v.reshape((grad_accum, micro) + v.shape[1:])
+                       for k, v in batch.items()}
+
+            def body(carry, mb):
+                mstate, acc, i = carry
+                d_rng = jax.random.fold_in(dropout_rng, i)
+                t_rng = jax.random.fold_in(triplet_rng, i)
+                g, m, mstate = grads_and_metrics(
+                    ts.params, mstate, mb, masks, d_rng, t_rng)
+                acc = jax.tree.map(lambda a, b: a + b, acc, g)
+                return (mstate, acc, i + 1), m
+
+            zeros = jax.tree.map(jnp.zeros_like, ts.params)
+            (new_mstate, gsum, _), ms = jax.lax.scan(
+                body, (ts.model_state, zeros, 0), stacked)
+            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+            metrics = jax.tree.map(jnp.mean, ms)
+
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = jax.tree.map(lambda p, u: p + u, ts.params, updates)
         new_ts = ts.replace(step=ts.step + 1, params=new_params,
                             model_state=new_mstate, opt_state=new_opt,
                             masks=masks)
