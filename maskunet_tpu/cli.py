@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     tp.add_argument("--grad-accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step "
                          "(effective batch = batch_size * grad_accum)")
+    tp.add_argument("--lr-schedule", default=None,
+                    choices=["cosine", "warmup_cosine", "step"],
+                    help="optional lr schedule (default: the reference's "
+                         "constant lr)")
+    tp.add_argument("--warmup-steps", type=int, default=0)
     tp.add_argument("--eval-every", type=int, default=None,
                     help="run validation every N epochs (logged as val_*)")
     tp.add_argument("--eval-max-batches", type=int, default=8,
@@ -155,6 +160,7 @@ def main(argv=None) -> int:
             mesh=mesh, attn_impl=args.attn_impl,
             compute_dtype=args.compute_dtype, resume=args.resume,
             grad_accum=args.grad_accum,
+            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
             log_every=args.log_every, data_fraction=args.data_fraction,
             debug_nan=args.debug_nan, eval_every=args.eval_every,
             eval_max_batches=args.eval_max_batches,
@@ -183,7 +189,7 @@ def main(argv=None) -> int:
         ts = loop.setup_state(recipe, cfg, tx)
         manager = ckpt_lib.CheckpointManager(args.workdir,
                                              recipe.checkpoint_name)
-        ts = manager.restore(ts, args.tag)
+        ts = manager.restore_for_inference(ts, args.tag)
         if args.mode == "semantic":
             metrics = loop.evaluate(recipe, args.data_root, ts, mesh=mesh,
                                     attn_impl=args.attn_impl,
@@ -232,7 +238,7 @@ def main(argv=None) -> int:
         manager = ckpt_lib.CheckpointManager(args.workdir,
                                              recipe.checkpoint_name)
         if manager.has(args.tag):
-            ts = manager.restore(ts, args.tag)
+            ts = manager.restore_for_inference(ts, args.tag)
         os.makedirs(args.out, exist_ok=True)
         example = val_ds[args.index]
         visualize.save_sample(example, os.path.join(args.out, "sample.png"))
@@ -269,7 +275,7 @@ def main(argv=None) -> int:
         ts = loop.setup_state(recipe, cfg, tx)
         manager = ckpt_lib.CheckpointManager(args.workdir,
                                              recipe.checkpoint_name)
-        ts = manager.restore(ts, args.tag)
+        ts = manager.restore_for_inference(ts, args.tag)
         written = predict_lib.predict_directory(
             recipe, ts, args.images, args.out, num_classes=num_classes,
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,

@@ -69,6 +69,31 @@ def restore_raw(path: str) -> dict:
         return flax.serialization.msgpack_restore(f.read())
 
 
+def restore_inference(path: str, template: Any) -> Any:
+    """Restore params / BN stats / masks / step into `template`, ignoring
+    the optimizer state entirely.
+
+    Inference consumers (serving, evaluate, predict, visualize) don't
+    need optimizer moments, and requiring them to reconstruct the exact
+    training optimizer (e.g. the same --lr-schedule, whose optax state
+    has a different structure than a constant-lr AdamW) just to satisfy
+    the full-state template is fragile. `template` is a TrainState built
+    with any optimizer."""
+    raw = restore_raw(path)
+    host = jax.device_get(template)
+    params = flax.serialization.from_state_dict(host.params,
+                                                raw["params"])
+    mstate = flax.serialization.from_state_dict(host.model_state,
+                                                raw["model_state"])
+    out = template.replace(params=params, model_state=mstate,
+                           step=raw.get("step", host.step))
+    if template.masks is not None and raw.get("masks") is not None:
+        masks = flax.serialization.from_state_dict(
+            jax.tree.map(lambda x: x, host.masks), raw["masks"])
+        out = out.replace(masks=masks)
+    return out
+
+
 def _flatten(tree: Any, prefix: tuple = ()) -> dict:
     out = {}
     if isinstance(tree, dict):
@@ -187,6 +212,12 @@ class CheckpointManager:
     def restore(self, template: Any, tag: str = "latest") -> Any:
         self.wait()
         return restore(self._path(tag), template)
+
+    def restore_for_inference(self, template: Any,
+                              tag: str = "latest") -> Any:
+        """Optimizer-agnostic restore (params/BN/masks/step only)."""
+        self.wait()
+        return restore_inference(self._path(tag), template)
 
     def has(self, tag: str = "latest") -> bool:
         self.wait()

@@ -122,7 +122,7 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
     ts = loop_lib.setup_state(recipe, cfg, tx)
     manager = ckpt_lib.CheckpointManager(workdir, recipe.checkpoint_name)
     if manager.has(tag):
-        ts = manager.restore(ts, tag)
+        ts = manager.restore_for_inference(ts, tag)
 
     # serving masks: broadcast the checkpoint's first mask row across the
     # batch, so a given image scores identically regardless of server

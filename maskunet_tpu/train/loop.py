@@ -37,6 +37,33 @@ class TrainResult:
     images_per_sec: float
 
 
+def make_optimizer(recipe: Recipe, *, lr_schedule: str | None = None,
+                   total_steps: int | None = None,
+                   warmup_steps: int = 0):
+    """AdamW with an optional learning-rate schedule.
+
+    The reference trains at a constant lr with a commented-out scheduler
+    vestige (ade_semantic.py:424); `None` is the faithful default. The
+    schedules need `total_steps` (the loop computes it from the dataset
+    size and epoch budget)."""
+    if lr_schedule is None:
+        lr = recipe.lr
+    elif lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(recipe.lr, max(total_steps, 1))
+    elif lr_schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, recipe.lr, max(warmup_steps, 1),
+            max(total_steps, warmup_steps + 1))
+    elif lr_schedule == "step":
+        # reference-style StepLR: x0.1 every third of the run
+        lr = optax.exponential_decay(recipe.lr, max(total_steps // 3, 1),
+                                     0.1, staircase=True)
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}; "
+                         "use cosine | warmup_cosine | step")
+    return optax.adamw(lr, weight_decay=recipe.weight_decay)
+
+
 def model_config(recipe: Recipe, num_classes: int, *,
                  attn_impl: str = "auto",
                  compute_dtype: str = "float32") -> model_lib.MaskAttnUNetConfig:
@@ -62,6 +89,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           mesh=None, attn_impl: str = "auto",
           compute_dtype: str = "float32", resume: bool = False,
           grad_accum: int = 1,
+          lr_schedule: str | None = None, warmup_steps: int = 0,
           log_every: int = 500, ckpt_every: int = 2000,
           num_io_threads: int = 4, verbose: bool = True,
           data_fraction: float = 1.0,
@@ -82,7 +110,13 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         val_ds = CachedDataset(val_ds)
     cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
                        compute_dtype=compute_dtype)
-    tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+    epochs_planned = max_epochs if max_epochs is not None else recipe.num_epochs
+    steps_per_epoch = max(
+        len(train_ds) // (recipe.batch_size * grad_accum), 1)
+    tx = make_optimizer(
+        recipe, lr_schedule=lr_schedule, warmup_steps=warmup_steps,
+        total_steps=(max_steps if max_steps is not None
+                     else epochs_planned * steps_per_epoch))
     ts = setup_state(recipe, cfg, tx)
 
     if init_from is not None:

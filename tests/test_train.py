@@ -350,3 +350,33 @@ def test_grad_accum_via_loop(tmp_path):
                      log_every=0, verbose=False, grad_accum=2)
     assert res.history[0]["step"] == 2
     assert np.isfinite(res.history[0]["loss"])
+
+
+def test_lr_schedule_and_inference_restore(tmp_path):
+    """Scheduled-optimizer training runs, and an inference consumer with
+    a plain constant-lr template can restore its checkpoint (the optax
+    state structures differ; restore_for_inference skips opt state)."""
+    import dataclasses
+
+    from maskunet_tpu.core import checkpoint as ckpt_lib
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=16, batch_size=2)
+    res = loop.train(rec, None, str(tmp_path), max_epochs=1, max_steps=3,
+                     log_every=0, verbose=False,
+                     lr_schedule="warmup_cosine", warmup_steps=2)
+    assert np.isfinite(res.history[0]["loss"])
+
+    cfg = loop.model_config(rec, 8)
+    plain_tx = optax.adamw(rec.lr)
+    template = loop.setup_state(rec, cfg, plain_tx)
+    manager = ckpt_lib.CheckpointManager(str(tmp_path),
+                                         rec.checkpoint_name)
+    restored = manager.restore_for_inference(template, "latest")
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["initial"]["conv1"]["kernel"]),
+        np.asarray(jax.device_get(res.state.params
+                                  )["initial"]["conv1"]["kernel"]))
+    assert int(restored.step) == 3
