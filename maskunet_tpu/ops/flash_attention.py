@@ -43,13 +43,14 @@ def _interpret_mode() -> bool:
     return _INTERPRET
 
 
-# Tuned on TPU v5e (tools/attn_microbench.py sweep): BQ=2048/BK=1024 runs
-# the 16,384-token layer forward at 41.6 TF/s vs 24.5 at 512/512 (fewer
-# online-softmax rescale passes, larger MXU tiles); BK=2048 regresses
-# (VMEM pressure). The backward kernels hold more [BQ, BK] temporaries
-# (s, p, dp, ds) and OOM scoped VMEM at BQ=2048, so they run at
-# 1024/1024 (measured equal to 2048/1024 there). Env knobs override.
-_BQ_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BQ", "2048"))
+# Tuned on TPU v5e (tools/attn_microbench.py sweeps, r1+r2): forward
+# BQ=4096/BK=1024 runs the 16,384-token layer at ~44 TF/s — r2 re-sweep
+# under the 64 MB VMEM budget: 4096/1024 6.94 ms vs 2048/1024 7.04,
+# 8192/1024 7.32, 4096/512 9.5, 16384/512 11.0 (BK below 1024 starves
+# the MXU; giant BQ hurts pipelining). The backward kernels hold more
+# [BQ, BK] temporaries (s, p, dp, ds); 1024/1024 measured best there
+# (2048/1024 equal, 2048/512 worse, BK=2048 fails). Env knobs override.
+_BQ_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BQ", "4096"))
 _BK_DEFAULT = int(os.environ.get("MASKUNET_FLASH_BK", "1024"))
 _BQ_BWD = int(os.environ.get("MASKUNET_FLASH_BQ_BWD", "1024"))
 _BK_BWD = int(os.environ.get("MASKUNET_FLASH_BK_BWD", "1024"))

@@ -137,3 +137,25 @@ def test_dp_matches_single_device_flash():
     a = jax.device_get(ts1.params["attn6"]["query"]["kernel"])
     b = jax.device_get(ts8.params["attn6"]["query"]["kernel"])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dp_tp_mesh_matches_single_device():
+    """4x2 (data x model) mesh: batch sharded over 'data' AND the 512-ch
+    bottleneck sharded over 'model' equals single-device numerics."""
+    cfg, task, tx, ts, batch = _setup()
+    ts1, m1 = jax.jit(step_lib.make_train_step(cfg, task, tx))(ts, batch)
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    step = step_lib.make_train_step(cfg, task, tx, mesh=mesh)
+    ts8, m8 = jax.jit(step)(mesh_lib.put_replicated(mesh, ts),
+                            mesh_lib.shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    a = jax.device_get(ts1.params["bottom2"]["conv1"]["kernel"])
+    b = jax.device_get(ts8.params["bottom2"]["conv1"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    sa = jax.device_get(ts1.model_state["bottom2"]["bn1"]["mean"])
+    sb = jax.device_get(ts8.model_state["bottom2"]["bn1"]["mean"])
+    np.testing.assert_allclose(sa, sb, atol=1e-6)
