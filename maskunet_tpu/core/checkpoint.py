@@ -80,16 +80,17 @@ def restore_inference(path: str, template: Any) -> Any:
     the full-state template is fragile. `template` is a TrainState built
     with any optimizer."""
     raw = restore_raw(path)
-    host = jax.device_get(template)
-    params = flax.serialization.from_state_dict(host.params,
-                                                raw["params"])
-    mstate = flax.serialization.from_state_dict(host.model_state,
-                                                raw["model_state"])
+    # fetch only what inference needs — NOT the whole template (whose
+    # optimizer moments are ~2x the param bytes and get discarded)
+    params = flax.serialization.from_state_dict(
+        jax.device_get(template.params), raw["params"])
+    mstate = flax.serialization.from_state_dict(
+        jax.device_get(template.model_state), raw["model_state"])
     out = template.replace(params=params, model_state=mstate,
-                           step=raw.get("step", host.step))
+                           step=raw.get("step", template.step))
     if template.masks is not None and raw.get("masks") is not None:
         masks = flax.serialization.from_state_dict(
-            jax.tree.map(lambda x: x, host.masks), raw["masks"])
+            jax.device_get(template.masks), raw["masks"])
         out = out.replace(masks=masks)
     return out
 

@@ -125,8 +125,10 @@ class COCOInstanceDataset:
         self.categories = {c["id"]: c for c in data["categories"]}
         # reference: c_out = len(coco.cats) + 1 (coco_instance.py:289)
         self.num_classes = len(self.categories) + 1
-        # instances_*.json categories are all things by definition
-        self.things_labels = set(self.categories)
+        # this dataset's label space is summed-mask overlap COUNTS
+        # (0..num_classes-1), not category ids; treat every nonzero
+        # count as a "thing" for the (degenerate) panoptic view
+        self.things_labels = set(range(1, self.num_classes))
 
     def __len__(self) -> int:
         return len(self.images)

@@ -115,10 +115,12 @@ class COCOEvaluator:
                                    iscrowd_raw)
         else:
             ious_raw = np.zeros((len(dts), len(gts)))
-        g_areas = [g.get("area", None) or rle_lib.area(g["segmentation"])
-                   for g in gts]
-        d_areas = [d.get("area", None) or rle_lib.area(d["segmentation"])
-                   for d in dts]
+        # key-presence semantics (pycocotools): a stored area of 0 is
+        # used as-is, never recomputed
+        g_areas = [g["area"] if "area" in g
+                   else rle_lib.area(g["segmentation"]) for g in gts]
+        d_areas = [d["area"] if "area" in d
+                   else rle_lib.area(d["segmentation"]) for d in dts]
         return [self._match_range(gts, dts, ious_raw, iscrowd_raw,
                                   g_areas, d_areas, a_rng)
                 for a_rng in self.p.area_rng]

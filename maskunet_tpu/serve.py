@@ -28,10 +28,14 @@ import numpy as np
 class _Batcher:
     """Micro-batching executor: blocks callers until their result is ready."""
 
-    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 10.0):
+    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 10.0,
+                 predict_timeout_s: float = 300.0):
         self._run = run_batch
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
+        # generous default: the timeout also covers any first-request jit
+        # compile when the runner wasn't pre-warmed (serve.main pre-warms)
+        self.predict_timeout_s = predict_timeout_s
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "errors": 0, "batches": 0,
@@ -47,13 +51,11 @@ class _Batcher:
         s["queue_depth"] = self._q.qsize()
         return s
 
-    PREDICT_TIMEOUT_S = 60.0
-
     def predict(self, image: np.ndarray) -> np.ndarray:
         done = threading.Event()
         slot: dict = {}
         self._q.put((image, slot, done))
-        if not done.wait(self.PREDICT_TIMEOUT_S):
+        if not done.wait(self.predict_timeout_s):
             raise TimeoutError("prediction timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -224,6 +226,8 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8799)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--predict-timeout-s", type=float, default=300.0,
+                    help="per-request wall clock before a 503")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--compute-dtype", default="bfloat16")
     args = ap.parse_args(argv)
@@ -248,7 +252,8 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype, batch_size=batch)
     # warm the compile before accepting traffic
     runner(np.zeros((batch, img_size, img_size, 3), np.uint8))
-    batcher = _Batcher(runner, batch, args.max_wait_ms)
+    batcher = _Batcher(runner, batch, args.max_wait_ms,
+                       predict_timeout_s=args.predict_timeout_s)
 
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),

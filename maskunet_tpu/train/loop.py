@@ -48,6 +48,8 @@ def make_optimizer(recipe: Recipe, *, lr_schedule: str | None = None,
     size and epoch budget)."""
     if lr_schedule is None:
         lr = recipe.lr
+    elif total_steps is None:
+        raise ValueError("lr_schedule requires total_steps")
     elif lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(recipe.lr, max(total_steps, 1))
     elif lr_schedule == "warmup_cosine":
@@ -165,7 +167,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     history: list[dict] = []
     best_loss, best_iou = float("inf"), 0.0
     steps_done = 0
-    epochs = max_epochs if max_epochs is not None else recipe.num_epochs
+    epochs = epochs_planned   # same budget the lr schedule was built for
 
     for epoch in range(epochs):
         total_loss = total_iou = 0.0

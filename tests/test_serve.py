@@ -101,33 +101,40 @@ def test_serving_masks_batch_size_invariant():
 
 
 def test_batcher_survives_malformed_request():
-    """A bad payload shape fails its own request; the worker thread stays
+    """A bad payload shape fails its batch; the worker thread stays
     alive and later requests still succeed (ADVICE r1)."""
-    calls = {"n": 0}
+    import queue as queue_mod
+    import threading as threading_mod
 
     def run(images):
-        calls["n"] += 1
         return images[..., 0]
 
-    batcher = serve._Batcher(run, 2, max_wait_ms=1.0)
+    # long max_wait + pre-filled queue force both requests into ONE
+    # batch, so np.stack of mismatched shapes deterministically raises
+    batcher = serve._Batcher.__new__(serve._Batcher)
+    batcher._run = run
+    batcher.batch_size = 2
+    batcher.max_wait = 1.0
+    batcher.predict_timeout_s = 30.0
+    batcher._q = queue_mod.Queue()
+    batcher._lock = threading_mod.Lock()
+    batcher.stats = {"requests": 0, "errors": 0, "batches": 0,
+                     "batched_images": 0, "run_ms_ema": 0.0}
     good = np.zeros((8, 8, 3), np.uint8)
     bad = np.zeros((9, 8, 3), np.uint8)     # np.stack will raise
-
-    import concurrent.futures
-    with concurrent.futures.ThreadPoolExecutor(2) as pool:
-        f_good = pool.submit(batcher.predict, good)
-        f_bad = pool.submit(batcher.predict, bad)
-        results = []
-        for f in (f_good, f_bad):
-            try:
-                results.append(f.result(timeout=30))
-            except RuntimeError:
-                results.append("error")
-    # at least one failed (they may or may not share a batch); worker alive
-    assert "error" in results or len(results) == 2
+    slots = [({}, threading_mod.Event()) for _ in range(2)]
+    batcher._q.put((good, *slots[0]))
+    batcher._q.put((bad, *slots[1]))
+    batcher._thread = threading_mod.Thread(target=batcher._worker,
+                                           daemon=True)
+    batcher._thread.start()
+    for slot, done in slots:
+        assert done.wait(30)
+        assert "error" in slot              # the whole batch failed loud
     assert batcher._thread.is_alive()
     out = batcher.predict(good)             # still serving
     assert out.shape == (8, 8)
+    assert batcher.metrics()["errors"] == 2
 
 
 def test_metrics_endpoint(server):
