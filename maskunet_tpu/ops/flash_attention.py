@@ -72,6 +72,10 @@ def _block_sizes(lq: int, lk: int, dtype, *,
     if bwd:
         return _pick_block(lq, _BQ_BWD), _pick_block(lk, _BK_BWD)
     bq = _BQ_DEFAULT
+    if lq < 8192:
+        # BQ=4096 wins on the 16k layer but regresses the 4k layers
+        # (nq=1 leaves no q-block pipeline: 1.81 vs 1.72 ms measured)
+        bq = min(bq, 2048)
     if dtype == jnp.float32 and bq > 1024:
         # f32 q/k/v/o blocks + the f32 [BQ, BK] score/prob temporaries
         # exceed the 16 MB scoped-VMEM budget at BQ=2048 (measured
