@@ -197,43 +197,63 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
     (`things_labels`: COCO isthing flags; Cityscapes train ids 11-18;
     ADE20K/synthetic treat every class as a thing, matching their
     per-class connected-component instance synthesis)."""
+    import concurrent.futures
+
     ds, num_classes = _eval_dataset(recipe, data_root)
     if things is None:
         things = getattr(ds, "things_labels", None)
+
+    def process_image(img_id, pred, label, prob, gt_inst):
+        """Host-side decode for one image: IoU, CC instances, panoptic
+        fusion. Runs on a worker thread so it overlaps the next batch's
+        device eval (the CC/RLE kernels release the GIL)."""
+        # per-image IoU (compute_iou_for_image, ade_panoptic.py:182-192)
+        present = [
+            (np.sum((pred == c) & (label == c)),
+             np.sum((pred == c) | (label == c)))
+            for c in range(num_classes)]
+        per_cls = [i / u for i, u in present if u > 0]
+        iou = float(np.mean(per_cls)) if per_cls else 1.0
+        # instance AP from connected components (reference pattern)
+        g_inst = [{**g, "image_id": img_id}
+                  for g in instances.get_instances_from_mask(label)]
+        d_inst = [{**d, "image_id": img_id}
+                  for d in instances.get_instances_from_mask(pred, prob)]
+        # correct PQ via panoptic fusion
+        gt_pan, gt_segs = panoptic.semantic_to_panoptic(
+            label, gt_inst, things=things)
+        pred_pan, pred_segs = panoptic.semantic_to_panoptic(
+            pred, None, things=things)
+        return (iou, g_inst, d_inst,
+                (gt_pan, gt_segs, pred_pan, pred_segs),
+                (img_id, pred_pan, pred_segs))
+
+    futures = []
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        for _, ids, host in _iter_eval(
+                recipe, ds, num_classes, ts, attn_impl=attn_impl,
+                max_batches=max_batches):
+            gt_inst = host.get("instance")
+            for b in range(host["pred"].shape[0]):
+                if not host["valid"][b]:
+                    continue
+                futures.append(pool.submit(
+                    process_image, ids[b], host["pred"][b],
+                    host["label"][b], host["prob"][b],
+                    gt_inst[b] if gt_inst is not None else None))
+        results = [f.result() for f in futures]   # submission order
+
     gts: list[dict] = []
     dts: list[dict] = []
     pq_images = []
     export_preds: list[tuple] = []
     ious: list[float] = []
-    for _, ids, host in _iter_eval(
-            recipe, ds, num_classes, ts, attn_impl=attn_impl,
-            max_batches=max_batches):
-        for b in range(host["pred"].shape[0]):
-            if not host["valid"][b]:
-                continue
-            img_id = ids[b]
-            pred, label = host["pred"][b], host["label"][b]
-            # per-image IoU (compute_iou_for_image, ade_panoptic.py:182-192)
-            present = [
-                (np.sum((pred == c) & (label == c)),
-                 np.sum((pred == c) | (label == c)))
-                for c in range(num_classes)]
-            per_cls = [i / u for i, u in present if u > 0]
-            ious.append(float(np.mean(per_cls)) if per_cls else 1.0)
-            # instance AP from connected components (reference pattern)
-            for g in instances.get_instances_from_mask(label):
-                gts.append({**g, "image_id": img_id})
-            for d in instances.get_instances_from_mask(pred, host["prob"][b]):
-                dts.append({**d, "image_id": img_id})
-            # correct PQ via panoptic fusion
-            gt_inst = host.get("instance")
-            gt_pan, gt_segs = panoptic.semantic_to_panoptic(
-                label, gt_inst[b] if gt_inst is not None else None,
-                things=things)
-            pred_pan, pred_segs = panoptic.semantic_to_panoptic(
-                pred, None, things=things)
-            pq_images.append((gt_pan, gt_segs, pred_pan, pred_segs))
-            export_preds.append((img_id, pred_pan, pred_segs))
+    for iou, g_inst, d_inst, pq_img, export in results:
+        ious.append(iou)
+        gts.extend(g_inst)
+        dts.extend(d_inst)
+        pq_images.append(pq_img)
+        export_preds.append(export)
 
     if export_dir is not None:
         # keyed by the dataset's real image ids so the export can be
