@@ -39,6 +39,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "before device/mesh setup (TPU pod slices)")
+    p.add_argument("--coordinator", default=None,
+                   help="with --distributed: coordinator address "
+                        "(host:port); omit to auto-detect from the "
+                        "cluster environment (TPU metadata / SLURM)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="with --distributed: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="with --distributed: this process's index")
 
 
 def main(argv=None) -> int:
@@ -126,7 +134,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if getattr(args, "distributed", False):
         import jax
-        jax.distributed.initialize()
+        # explicit coordinator/process args for SPMD launchers without
+        # cluster auto-detection (and for the 1-process smoke test);
+        # bare initialize() auto-detects on TPU pods / SLURM
+        jax.distributed.initialize(
+            coordinator_address=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None))
 
     from maskunet_tpu.utils import compile_cache
     compile_cache.enable()

@@ -93,7 +93,12 @@ class COCOEvaluator:
         else:
             results = [work(k) for k in keys]
         self._by_cat_area = {}
-        for (img, cat), per_area in results:   # img-ascending per cat
+        # `keys` is sorted by (img, cat), so each (cat, a_idx) entry list
+        # is in ascending-image-id order — identical to iterating
+        # self.img_ids (itself sorted) as accumulate()'s dense fallback
+        # and pycocotools (with ascending imgIds) do, so tied-score
+        # mergesort tie-breaks match the reference tooling exactly.
+        for (img, cat), per_area in results:
             for a_idx, entry in enumerate(per_area):
                 self._eval_imgs[(img, cat, a_idx)] = entry
                 if entry is not None:

@@ -39,7 +39,7 @@ class _Batcher:
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "errors": 0, "batches": 0,
-                      "batched_images": 0, "run_ms_ema": 0.0}
+                      "batched_images": 0, "shed": 0, "run_ms_ema": 0.0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -56,6 +56,11 @@ class _Batcher:
         slot: dict = {}
         self._q.put((image, slot, done))
         if not done.wait(self.predict_timeout_s):
+            # mark abandoned so the worker sheds it instead of spending
+            # model time on a request whose client already got a 503 —
+            # under sustained overload serving ghosts would only prolong
+            # the backlog the timeout exists to cut
+            slot["abandoned"] = True
             raise TimeoutError("prediction timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -74,6 +79,13 @@ class _Batcher:
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            live = [it for it in items if not it[1].get("abandoned")]
+            if len(live) != len(items):
+                with self._lock:
+                    self.stats["shed"] += len(items) - len(live)
+            items = live
+            if not items:
+                continue
             # batch assembly inside the try: a malformed request (wrong
             # shape/dtype) must fail its batch, not kill this singleton
             # worker thread and hang every future predict()

@@ -48,18 +48,29 @@ def _image_id(ds, idx: int) -> int:
 
 
 def _iter_eval(recipe: Recipe, ds, num_classes: int, ts, *,
-               attn_impl: str = "auto", max_batches: int | None = None):
+               attn_impl: str = "auto", max_batches: int | None = None,
+               mesh=None):
     """Yields (dataset_indices, image_ids, host dict with pred/prob/
     label[/instance/embeddings]) per batch. Rows beyond the dataset end
-    (pad_last) are excluded via host['valid']."""
+    (pad_last) are excluded via host['valid'].
+
+    `mesh`: batch-shard the device eval over the mesh's 'data' axis (the
+    same DP the training loop uses) — without it, instance/panoptic
+    evaluation after an `--n-data N` run would fall back to one device.
+    The jitted step comes from `step_lib.cached_eval_step`, so repeated
+    evaluation (e.g. every `eval_every` epochs) never retraces."""
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl)
-    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+    eval_step = step_lib.cached_eval_step(cfg, recipe.task_config, mesh)
+    sharding = None
+    if mesh is not None:
+        from maskunet_tpu.parallel import mesh as mesh_lib
+        sharding = mesh_lib.batch_sharding(mesh)
     batches = pipeline.BatchIterator(ds, recipe.batch_size,
                                      shuffle=False, drop_last=False,
                                      pad_last=True)
     n = len(ds)
     for i, batch in enumerate(batches.epoch(0)):
-        dev_batch = pipeline.to_device(batch)
+        dev_batch = pipeline.to_device(batch, sharding=sharding)
         result = eval_step(ts, dev_batch)
         host = {
             "pred": np.asarray(result["pred"]),
@@ -133,10 +144,16 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                        use_embeddings: bool | None = None,
                        max_batches: int | None = None,
                        attn_impl: str = "auto",
-                       split: str = "val") -> dict[int, dict]:
+                       split: str = "val",
+                       mesh=None,
+                       dataset: tuple | None = None) -> dict[int, dict]:
     """Instance AP with the reference's max_queries sweep
     (ade_instance.py:451-457: 50/100/150/200; city_instance.py:510:
-    30/50/70/100). Returns {max_queries: summarize() stats}."""
+    30/50/70/100). Returns {max_queries: summarize() stats}.
+
+    `dataset`: optional prebuilt (ds, num_classes) — the training loop
+    passes its cached val set so in-training eval skips reconstruction.
+    `mesh`: DP-shard the device eval (see `_iter_eval`)."""
     if max_queries is None:
         max_queries = recipe.eval_max_queries
     if use_embeddings is None:
@@ -145,12 +162,15 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
     if (recipe.dataset == "coco" and recipe.task == "instance"
             and data_root is not None):
         ragged_gt = _ragged_coco_gt(recipe, data_root, split)
-    ds, num_classes = _eval_dataset(recipe, data_root, split)
+    if dataset is not None and split == "val":
+        ds, num_classes = dataset
+    else:
+        ds, num_classes = _eval_dataset(recipe, data_root, split)
     gts: list[dict] = []
     dts: list[dict] = []
     for indices, ids, host in _iter_eval(
             recipe, ds, num_classes, ts, attn_impl=attn_impl,
-            max_batches=max_batches):
+            max_batches=max_batches, mesh=mesh):
         for b in range(host["pred"].shape[0]):
             if not host["valid"][b]:
                 continue
@@ -189,17 +209,26 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
                       things: set[int] | None = None,
                       max_batches: int | None = None,
                       attn_impl: str = "auto",
-                      export_dir: str | None = None) -> dict:
+                      export_dir: str | None = None,
+                      mesh=None,
+                      dataset: tuple | None = None) -> dict:
     """AP (segm, iouThrs 0.5:0.95) + PQ All/Things/Stuff + mean IoU —
     the tuple the reference prints (ade_panoptic.py:588-592).
 
     `things=None` takes the things/stuff split from the dataset
     (`things_labels`: COCO isthing flags; Cityscapes train ids 11-18;
     ADE20K/synthetic treat every class as a thing, matching their
-    per-class connected-component instance synthesis)."""
+    per-class connected-component instance synthesis).
+
+    `dataset`: optional prebuilt (ds, num_classes) — the training loop
+    passes its cached val set so in-training eval skips reconstruction.
+    `mesh`: DP-shard the device eval (see `_iter_eval`)."""
     import concurrent.futures
 
-    ds, num_classes = _eval_dataset(recipe, data_root)
+    if dataset is not None:
+        ds, num_classes = dataset
+    else:
+        ds, num_classes = _eval_dataset(recipe, data_root)
     if things is None:
         things = getattr(ds, "things_labels", None)
 
@@ -232,7 +261,7 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
     with concurrent.futures.ThreadPoolExecutor(4) as pool:
         for _, ids, host in _iter_eval(
                 recipe, ds, num_classes, ts, attn_impl=attn_impl,
-                max_batches=max_batches):
+                max_batches=max_batches, mesh=mesh):
             gt_inst = host.get("instance")
             for b in range(host["pred"].shape[0]):
                 if not host["valid"][b]:

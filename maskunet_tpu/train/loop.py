@@ -219,16 +219,20 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             # sample size is recorded alongside so logs are not mistaken
             # for full-split numbers.
             val = _evaluate_state(recipe, cfg, ts, val_ds,
-                                  sharding=sharding,
+                                  sharding=sharding, mesh=mesh,
                                   max_batches=eval_max_batches)
             record.update({f"val_{k}": v for k, v in val.items()})
             record["val_sample_images"] = min(
                 eval_max_batches * recipe.batch_size, len(val_ds))
+            # the evaluators reuse the already-built (cached) val dataset
+            # and the memoized jitted eval step — the second in-training
+            # eval does zero dataset construction and zero retracing
             if recipe.task == "panoptic":
                 from maskunet_tpu.tasks import evaluators
                 pan = evaluators.evaluate_panoptic(
                     recipe, data_root, ts, max_batches=eval_max_batches,
-                    attn_impl=attn_impl)
+                    attn_impl=attn_impl, mesh=mesh,
+                    dataset=(val_ds, num_classes))
                 record["val_pq"] = pan["pq"]["All"]["pq"]
                 record["val_ap"] = pan["ap"]["AP"]
             elif recipe.task == "instance":
@@ -236,7 +240,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 q = recipe.eval_max_queries[-1]
                 inst = evaluators.evaluate_instances(
                     recipe, data_root, ts, max_queries=(q,),
-                    max_batches=eval_max_batches, attn_impl=attn_impl)
+                    max_batches=eval_max_batches, attn_impl=attn_impl,
+                    mesh=mesh, dataset=(val_ds, num_classes))
                 record["val_ap"] = inst[q]["AP"]
         history.append(record)
         logger.log(record)
@@ -266,8 +271,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
 def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
                     mesh=None, max_batches: int | None = None
                     ) -> dict[str, float]:
-    eval_step = jax.jit(
-        step_lib.make_eval_step(cfg, recipe.task_config, mesh=mesh))
+    eval_step = step_lib.cached_eval_step(cfg, recipe.task_config,
+                                          mesh)
     # pad_last so validation sets smaller than a batch still evaluate
     # (padded rows are metric-masked in the eval step)
     batches = pipeline.BatchIterator(

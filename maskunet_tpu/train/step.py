@@ -21,6 +21,7 @@ absent), 'fresh' draws new Bernoulli masks every step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -136,6 +137,20 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
         return new_ts, metrics
 
     return step
+
+
+@functools.lru_cache(maxsize=16)
+def cached_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
+                     mesh=None) -> Callable[[TrainState, dict], dict]:
+    """Memoized jitted eval step.
+
+    Every caller that builds a fresh `jax.jit(make_eval_step(...))`
+    closure defeats jit's own trace cache (a new function identity per
+    call -> retrace per call, VERDICT r2 weak #4). cfg/task are frozen
+    dataclasses and jax.sharding.Mesh is hashable, so one jitted step per
+    (cfg, task, mesh) is shared by the training loop's in-training
+    validation, `loop.evaluate`, and the instance/panoptic evaluators."""
+    return jax.jit(make_eval_step(cfg, task, mesh=mesh))
 
 
 def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,

@@ -149,3 +149,44 @@ def test_metrics_endpoint(server):
     assert m["batches"] >= 1
     assert 0.0 < m["avg_batch_fill"] <= 1.0
     assert m["run_ms_ema"] > 0.0
+
+
+def test_batcher_sheds_abandoned_requests():
+    """A request that timed out (client already got its 503) is dropped
+    from batch assembly instead of still consuming model time
+    (ADVICE r2): the worker only sees live requests."""
+    import queue as queue_mod
+    import threading as threading_mod
+
+    ran = []
+
+    def run(images):
+        ran.append(len(images))
+        return images[..., 0]
+
+    batcher = serve._Batcher.__new__(serve._Batcher)
+    batcher._run = run
+    batcher.batch_size = 2
+    batcher.max_wait = 0.01
+    batcher.predict_timeout_s = 30.0
+    batcher._q = queue_mod.Queue()
+    batcher._lock = threading_mod.Lock()
+    batcher.stats = {"requests": 0, "errors": 0, "batches": 0,
+                     "batched_images": 0, "shed": 0, "run_ms_ema": 0.0}
+    img = np.zeros((8, 8, 3), np.uint8)
+    # pre-abandoned request (its client timed out before the worker ran)
+    dead_slot, dead_done = {"abandoned": True}, threading_mod.Event()
+    live_slot, live_done = {}, threading_mod.Event()
+    batcher._q.put((img, dead_slot, dead_done))
+    batcher._q.put((img, live_slot, live_done))
+    batcher._thread = threading_mod.Thread(target=batcher._worker,
+                                           daemon=True)
+    batcher._thread.start()
+    assert live_done.wait(30)
+    assert "result" in live_slot
+    assert not dead_done.is_set()           # never processed
+    m = batcher.metrics()
+    assert m["shed"] == 1
+    # the model batch contained only the live request (padded), never ran
+    # a batch solely for the dead one
+    assert m["batches"] == 1
