@@ -33,6 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from maskunet_tpu.core import layers
 
 NEG_INF = -1e30
+_LOG2E = 1.4426950408889634          # 1/ln(2): natural-base -> base-2 scores
+# No-online-max forward (inference): clamp base-2 scores so exp2 cannot
+# overflow f32 even summed over 16k keys (2^60 * 16384 = 2^74 << 2^128).
+# Engages only beyond natural score ~41.6 — unreachable for LayerNormed
+# activations (trained nets observe |s| < ~30); see test_flash_nomax_*.
+_NOMAX_CLAMP = 60.0
 _INTERPRET = None  # resolved lazily: interpret mode off-TPU (CPU tests)
 
 
@@ -58,6 +64,10 @@ _BK_BWD = int(os.environ.get("MASKUNET_FLASH_BK_BWD", "1024"))
 # by ~120 KB at BQ=2048/BK=1024 with some layouts; v5e has 128 MB of
 # VMEM, so grant 64 MB headroom (still leaves half for the pipeline).
 _VMEM_LIMIT = int(os.environ.get("MASKUNET_FLASH_VMEM", str(64 * 2**20)))
+# dQ partial-block dtype for the merged backward (0 = f32, 1 = input
+# dtype): measured equal on the train bench (the partial traffic is not
+# the bottleneck), so the extra-precision f32 default stands.
+_BWD_PARTIALS_BF16 = os.environ.get("MASKUNET_BWD_PARTIALS_BF16", "0") == "1"
 
 
 def _pick_block(l: int, preferred: int) -> int:
@@ -91,6 +101,11 @@ def _block_sizes(lq: int, lk: int, dtype, *,
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 acc_sc, m_sc, l_sc, *, scale: float, nk: int,
                 use_valid: bool = True):
+    """Online-softmax forward in base-2: pow2 is the native TPU
+    transcendental, so exp(x) = exp2(x*log2e) with log2e folded into the
+    [BQ, C] q block (64/1024 the cost of folding it into the [BQ, BK]
+    scores). The additive {0, -1e30} bias needs no rescaling: -1e30
+    underflows exp2 to exact zero just like exp."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -99,29 +114,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         m_sc[:] = jnp.full_like(m_sc, NEG_INF)
         l_sc[:] = jnp.zeros_like(l_sc)
 
-    q = q_ref[0]                       # [BQ, C]
+    q = q_ref[0] * (scale * _LOG2E)    # [BQ, C]; base-2 score scaling
     k = k_ref[0]                       # [BK, C]
     v = v_ref[0]                       # [BK, C]
     bias = bias_ref[0]                 # [1, BK] in {0, NEG_INF}
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [BQ, BK]
-    if scale != 1.0:   # compile-time; callers pre-scale q when possible
-        s = s * scale
+        preferred_element_type=jnp.float32)             # [BQ, BK] base-2
     s = s + bias                                        # broadcast over rows
 
     m_prev = m_sc[:, :1]                                # [BQ, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
+    p = jnp.exp2(s - m_new)
     if use_valid:
         # exact zeros for masked keys even in all-masked rows; when every
-        # row is guaranteed >=1 visible key (compacted path), exp
+        # row is guaranteed >=1 visible key (compacted path), exp2
         # underflow of s-1e30-m already yields exact zeros and this
         # [BQ, BK] multiply is skipped
         p = p * (bias > NEG_INF * 0.5)
-    alpha = jnp.exp(m_prev - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_sc[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -133,30 +146,133 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     def _():
         l_fin = l_sc[:, :1]
         o_ref[0] = (acc_sc[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
-        # lse for backward; NEG_INF rows (all keys masked) stay harmless.
-        lse_ref[0] = (m_sc[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30))).T
+        # base-2 lse for backward; NEG_INF rows (all keys masked) stay
+        # harmless.
+        lse_ref[0] = (m_sc[:, :1] + jnp.log2(jnp.maximum(l_fin, 1e-30))).T
 
 
-def _flash_fwd(q, k, v, bias, scale, use_valid=True):
+def _fwd_kernel_nomax(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
+                      scale: float, nk: int, use_valid: bool = True,
+                      with_lse: bool = False):
+    """Inference-only forward without the online-max bookkeeping.
+
+    The running max exists to keep exp in f32 range; in base-2 a static
+    clamp at 2^60 guarantees that outright (sum over 16k keys stays
+    < 2^74, acc products < 2^90 — far inside f32's 2^128). Mathematically
+    out = acc/l is invariant to the missing max shift, so results match
+    the safe kernel except when a base-2 score exceeds 60 (natural ~41.6
+    — see _NOMAX_CLAMP). Drops per k-block: the [BQ, BK] max-reduce, the
+    [BQ, BK] subtract, the alpha rescale chain, and the m scratch —
+    roughly 2 of the ~6 VPU passes over the score block, on the layer
+    where PERF.md attributes ~half of kernel time to VPU softmax work.
+
+    `with_lse=True` additionally emits base-2 lse = log2(l) for the
+    backward — mathematically the same quantity the online-max kernel
+    produces (m + log2(l_shifted)), valid whenever the clamp did not
+    engage; this makes the fast kernel usable as the TRAINING forward
+    (MASKUNET_SAFE_SOFTMAX=1 restores the online-max kernel)."""
+    if with_lse:
+        lse_ref, acc_sc, l_sc = rest
+    else:
+        acc_sc, l_sc = rest
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q = q_ref[0] * (scale * _LOG2E)
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [BQ, BK] base-2
+    p = jnp.exp2(jnp.minimum(s + bias, _NOMAX_CLAMP))
+    if use_valid:
+        p = p * (bias > NEG_INF * 0.5)
+    l_sc[:] += jnp.broadcast_to(jnp.sum(p, axis=-1, keepdims=True),
+                                l_sc.shape)
+    acc_sc[:] += jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        l_fin = l_sc[:, :1]
+        o_ref[0] = (acc_sc[:] /
+                    jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0] = jnp.log2(jnp.maximum(l_fin, 1e-30)).T
+
+
+# MASKUNET_SAFE_SOFTMAX=1: training forward uses the online-max kernel
+# instead of the clamped no-max kernel (debug/fallback; semantics differ
+# only when a base-2 score exceeds _NOMAX_CLAMP).
+_SAFE_SOFTMAX = os.environ.get("MASKUNET_SAFE_SOFTMAX", "0") == "1"
+
+
+def _flash_fwd(q, k, v, bias, scale, use_valid=True, *,
+               need_lse: bool = True):
+    """`need_lse=False` is the primal/inference path (no lse output).
+    With `need_lse=True` (the custom-vjp fwd rule) the default is still
+    the fast no-max kernel, now emitting lse = log2(l); the online-max
+    kernel remains available via MASKUNET_SAFE_SOFTMAX=1."""
     b, lq, c = q.shape
     lk = k.shape[1]
     bq, bk = _block_sizes(lq, lk, q.dtype)
     nq, nk = lq // bq, lk // bk
     grid = (b, nq, nk)
+    qspec = pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0))
+    kspec = pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0))
+    bspec = pl.BlockSpec((1, 1, bk), lambda ib, iq, ik: (ib, 0, ik))
+    lspec = pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq))
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT)
+    if not need_lse:
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_nomax, scale=scale, nk=nk,
+                              use_valid=use_valid),
+            grid=grid,
+            in_specs=[qspec, kspec, kspec, bspec],
+            out_specs=qspec,
+            out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bq, c), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=_interpret_mode(),
+        )(q, k, v, bias)
+        return out, None
+    if not _SAFE_SOFTMAX:
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_nomax, scale=scale, nk=nk,
+                              use_valid=use_valid, with_lse=True),
+            grid=grid,
+            in_specs=[qspec, kspec, kspec, bspec],
+            out_specs=[qspec, lspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, lq, c), q.dtype),
+                jax.ShapeDtypeStruct((b, 1, lq), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, c), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=_interpret_mode(),
+        )(q, k, v, bias)
+        return out, lse
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, nk=nk,
                           use_valid=use_valid),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, 1, bk), lambda ib, iq, ik: (ib, 0, ik)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-            pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq)),
-        ],
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=[qspec, lspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, lq, c), q.dtype),
             jax.ShapeDtypeStruct((b, 1, lq), jnp.float32),
@@ -166,9 +282,7 @@ def _flash_fwd(q, k, v, bias, scale, use_valid=True):
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=params,
         interpret=_interpret_mode(),
     )(q, k, v, bias)
     return out, lse
@@ -178,49 +292,33 @@ def _flash_fwd(q, k, v, bias, scale, use_valid=True):
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _scaled_scores(q, k, bias, scale):
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+def _scores_base2(q, k, bias, scale):
+    """Base-2 scores: log2e folds into the [BQ, C] q block (cheap), the
+    {0, -1e30} bias needs no rescaling (underflows exp2 to zero either
+    way). p = exp2(s2 - lse2) equals the natural-base softmax weights,
+    and the ln2/log2e chain-rule factors cancel exactly in ds@k / ds.T@q
+    when ds is computed WITHOUT the ln2 factor and the dk matmul uses the
+    RAW q — see the derivation in _dkv_kernel."""
+    s = jax.lax.dot_general(q * (scale * _LOG2E), k,
+                            (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    if scale != 1.0:
-        s = s * scale
     return s + bias
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_sc, *, scale: float, nk: int,
-               use_valid: bool = True):
-    ik = pl.program_id(2)
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                dqp_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale: float,
+                nq: int, use_valid: bool = True):
+    """Merged backward: ONE pass over the [Lq, Lk] score space.
 
-    @pl.when(ik == 0)
-    def _():
-        dq_sc[:] = jnp.zeros_like(dq_sc)
-
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    do = do_ref[0]                      # [BQ, C]
-    lse = lse_ref[0].T                  # [BQ, 1]
-    delta = delta_ref[0].T              # [BQ, 1]
-    bias = bias_ref[0]
-
-    s = _scaled_scores(q, k, bias, scale)
-    p = jnp.exp(s - lse)                                           # [BQ, BK]
-    if use_valid:
-        p = p * (bias > NEG_INF * 0.5)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [BQ, BK]
-    ds = p * (dp - delta)
-    dq = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dq_sc[:] += dq * scale if scale != 1.0 else dq
-
-    @pl.when(ik == nk - 1)
-    def _():
-        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_sc, dv_sc, *, scale: float, nq: int,
-                use_valid: bool = True):
+    The r2 backward ran two kernels (dq over (B,nQ,nK), dk/dv over
+    (B,nK,nQ)) that EACH recomputed s = QK^T and p = exp2(s - lse) — the
+    score matmul and the exp were done twice on top of the forward
+    (VERDICT r2 weak #2). Here grid (B, nK, nQ) computes s/p/dp once:
+    dK/dV accumulate in VMEM scratch over the sequential nQ sweep
+    (written at iq == nq-1), while per-(ik, iq) dQ partial blocks stream
+    to a [B, nK, Lq, C] output that one XLA sum reduces over nK —
+    5 [BQ,BK]-shaped matmuls + 1 exp pass instead of 7 + 2.
+    """
     iq = pl.program_id(2)
 
     @pl.when(iq == 0)
@@ -229,25 +327,37 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0].T
-    delta = delta_ref[0].T
+    do = do_ref[0]                      # [BQ, C]
+    lse = lse_ref[0].T                  # [BQ, 1] base-2
+    delta = delta_ref[0].T              # [BQ, 1]
     bias = bias_ref[0]
 
-    s = _scaled_scores(q, k, bias, scale)
-    p = jnp.exp(s - lse)                                           # [BQ, BK]
+    # Chain rule in base-2: s2 = (q*scale*log2e)@k.T + bias, and
+    # dL/ds2 = ln2 * p * (dp - delta). Then
+    #   dq = dL/ds2 @ (k*scale*log2e) = scale * (p*(dp-delta)) @ k
+    #   dk = (dL/ds2).T @ (q*scale*log2e) = scale * (p*(dp-delta)).T @ q
+    # -- the ln2*log2e products cancel, so computing ds WITHOUT ln2 and
+    # contracting against the RAW q/k reproduces the natural-base
+    # gradients exactly (no extra [BQ, BK] multiply).
+    s = _scores_base2(q, k, bias, scale)
+    p = jnp.exp2(s - lse)                                          # [BQ, BK]
     if use_valid:
         p = p * (bias > NEG_INF * 0.5)
     dv_sc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                        # [BK, C]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32)   # [BQ, BK]
     ds = p * (dp - delta)                                          # [BQ, BK]
+    dsc = ds.astype(q.dtype)
     dk = jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        dsc, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dk_sc[:] += dk * scale if scale != 1.0 else dk
+    dq = jax.lax.dot_general(
+        dsc, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # [BQ, C]
+    dqp_ref[0, 0] = (dq * scale if scale != 1.0 else dq).astype(dqp_ref.dtype)
 
     @pl.when(iq == nq - 1)
     def _():
@@ -263,30 +373,8 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, use_valid=True):
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=False)[:, None, :]      # [B, 1, L]
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, nk=nk,
-                          use_valid=use_valid),
-        grid=(b, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, 1, bk), lambda ib, iq, ik: (ib, 0, ik)),
-            pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-            pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq)),
-            pl.BlockSpec((1, 1, bq), lambda ib, iq, ik: (ib, 0, iq)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, lq, c), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, c), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_interpret_mode(),
-    )(q, k, v, bias, do, lse, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, nq=nq,
+    dqp, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, nq=nq,
                           use_valid=use_valid),
         grid=(b, nk, nq),
         in_specs=[
@@ -299,10 +387,18 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, use_valid=True):
             pl.BlockSpec((1, 1, bq), lambda ib, ik, iq: (ib, 0, iq)),
         ],
         out_specs=[
+            pl.BlockSpec((1, 1, bq, c), lambda ib, ik, iq: (ib, ik, iq, 0)),
             pl.BlockSpec((1, bk, c), lambda ib, ik, iq: (ib, ik, 0)),
             pl.BlockSpec((1, bk, c), lambda ib, ik, iq: (ib, ik, 0)),
         ],
         out_shape=[
+            # f32 partials: the ~300 MB round-trip at attn6 scale costs
+            # well under 1 ms of HBM time vs the ~2 matmul + 1 exp passes
+            # the merge saves; bf16 partials would halve that traffic at
+            # an extra rounding step (env knob below for A/B)
+            jax.ShapeDtypeStruct(
+                (b, nk, lq, c),
+                q.dtype if _BWD_PARTIALS_BF16 else jnp.float32),
             jax.ShapeDtypeStruct((b, lk, c), k.dtype),
             jax.ShapeDtypeStruct((b, lk, c), v.dtype),
         ],
@@ -315,6 +411,7 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, use_valid=True):
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret_mode(),
     )(q, k, v, bias, do, lse, delta)
+    dq = jnp.sum(dqp, axis=1).astype(q.dtype)
     return dq, dk, dv
 
 
@@ -324,11 +421,17 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, use_valid=True):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_mha(q, k, v, bias, scale, use_valid=True):
-    """use_valid=False skips the explicit masked-key zeroing (exp
+    """use_valid=False skips the explicit masked-key zeroing (exp2
     underflow of the -1e30 bias already yields exact zeros) — only legal
     when every batch row has >=1 visible key (the compacted path
-    guarantees it; compact_keys NaN-poisons empty masks)."""
-    out, _ = _flash_fwd(q, k, v, bias, scale, use_valid)
+    guarantees it; compact_keys NaN-poisons empty masks).
+
+    The primal (inference / no-grad eval) runs the no-online-max kernel
+    (`_fwd_kernel_nomax`): fewer VPU passes, no lse output. Under
+    differentiation the fwd rule runs the same kernel with the base-2
+    lse = log2(l) emitted for the backward (MASKUNET_SAFE_SOFTMAX=1
+    swaps in the online-max kernel)."""
+    out, _ = _flash_fwd(q, k, v, bias, scale, use_valid, need_lse=False)
     return out
 
 

@@ -152,3 +152,31 @@ def test_compaction_overflow_is_loud(monkeypatch):
                                      mask_density=None)
     np.testing.assert_allclose(np.asarray(safe), np.asarray(dense),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_nomax_primal_matches_fwd_rule():
+    """The inference (primal) kernel skips the online max; for realistic
+    score magnitudes it must match the armored fwd-rule kernel."""
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 256, 64)).astype("f4"))
+               for _ in range(3))
+    mask = jnp.asarray(rng.integers(0, 2, (2, 256)).astype(bool))
+    bias = flash_attention.mask_to_bias(mask, 2, 256)
+    scale = 1.0 / 8.0
+    primal = flash_attention.flash_mha(q, k, v, bias, scale)
+    safe, _ = flash_attention._flash_fwd(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(primal), np.asarray(safe),
+                               atol=2e-5)
+
+
+def test_flash_nomax_clamp_stays_finite():
+    """Scores beyond the no-max clamp saturate instead of overflowing:
+    output stays finite and is still a convex combination of V rows."""
+    rng = np.random.default_rng(4)
+    q = jnp.full((1, 128, 64), 40.0, jnp.float32)   # s2 ~ 64*1600*log2e
+    k = jnp.full((1, 128, 64), 40.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 128, 64)).astype("f4"))
+    bias = jnp.zeros((1, 1, 128), jnp.float32)
+    out = flash_attention.flash_mha(q, k, v, bias, 1.0)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out).max()) <= float(jnp.abs(v).max()) + 1e-4
