@@ -64,13 +64,15 @@ def main() -> None:
                 step_lib.make_train_step(cfg2, step_lib.TaskConfig(), tx),
                 donate_argnums=(0,))
             ts, m = train_step(ts, batch_data)
-            jax.block_until_ready(m["loss"])
+            float(m["loss"])   # scalar host fetch: the reliable fence
+            # (block_until_ready can return early through the tunnel and
+            # produce physically impossible timings — PERF.md)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 for _ in range(15):
                     ts, m = train_step(ts, batch_data)
-                jax.block_until_ready(m["loss"])
+                float(m["loss"])
                 best = min(best, (time.perf_counter() - t0) / 15)
             return best, float(m["loss"])
         finally:
