@@ -204,7 +204,17 @@ def upsample_2x_bilinear(x: jax.Array) -> jax.Array:
 
 def dropout(x: jax.Array, *, rate: float, rng: jax.Array | None,
             train: bool) -> jax.Array:
+    """Inverted dropout (ade_semantic.py:304-307 uses rate 0.3).
+
+    Uses the hardware RNG primitive (`lax.rng_bit_generator`) instead of
+    counter-based threefry: threefry bit generation cost ~0.7 ms/step at
+    this model's dropout shapes (train_breakdown r3) while the RBG path
+    is near-free. Still deterministic per `rng` key (the key data seeds
+    the generator); dropout streams are not parity-locked to anything."""
     if not train or rate == 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    kd = jax.random.key_data(rng).astype(jnp.uint32).reshape(-1)
+    seed = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])[:4]
+    _, bits = jax.lax.rng_bit_generator(seed, x.shape, dtype=jnp.uint32)
+    keep = bits >= jnp.uint32(max(round(rate * 2**32), 1))
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
