@@ -180,3 +180,23 @@ def test_flash_nomax_clamp_stays_finite():
     out = flash_attention.flash_mha(q, k, v, bias, 1.0)
     assert np.isfinite(np.asarray(out)).all()
     assert float(jnp.abs(out).max()) <= float(jnp.abs(v).max()) + 1e-4
+
+
+def test_safe_softmax_fallback_matches_dense(monkeypatch):
+    """MASKUNET_SAFE_SOFTMAX=1 swaps the online-max kernel back in for
+    the training forward; it must stay grad-exact vs dense (keeps the
+    fallback kernel covered now that the default path is no-max)."""
+    monkeypatch.setattr(flash_attention, "_SAFE_SOFTMAX", True)
+    rng = np.random.default_rng(5)
+    params = attention.attention_init(jax.random.key(0), 64)
+    tokens = jnp.asarray(rng.standard_normal((2, 512, 64)).astype("f4"))
+    mask = jnp.asarray(rng.integers(0, 2, (2, 512)).astype(bool))
+    w = jnp.asarray(rng.standard_normal(64).astype("f4"))
+
+    def loss(fn):
+        return lambda t: jnp.sum(fn(params, t, mask) * w)
+
+    gd = jax.grad(loss(attention.masked_attention_dense))(tokens)
+    gf = jax.grad(loss(flash_attention.masked_attention_flash))(tokens)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                               atol=2e-4)
