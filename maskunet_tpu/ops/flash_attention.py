@@ -307,7 +307,7 @@ def _scores_base2(q, k, bias, scale):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                 dqp_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale: float,
-                nq: int, use_valid: bool = True):
+                nq: int, use_valid: bool = True, clamp: bool = True):
     """Merged backward: ONE pass over the [Lq, Lk] score space.
 
     The r2 backward ran two kernels (dq over (B,nQ,nK), dk/dv over
@@ -340,6 +340,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     # contracting against the RAW q/k reproduces the natural-base
     # gradients exactly (no extra [BQ, BK] multiply).
     s = _scores_base2(q, k, bias, scale)
+    if clamp:
+        # mirror the no-max forward's overflow clamp: without it, a
+        # score past _NOMAX_CLAMP (possible transiently at high lr)
+        # makes exp2(s - lse) overflow HERE even though the forward
+        # stayed finite — observed as train-loss NaN. Clamped entries
+        # reproduce the forward's saturated p exactly. (The online-max
+        # forward needs NO clamp — its lse contains the true max — and
+        # must not get one: lse can legitimately exceed the clamp.)
+        s = jnp.minimum(s, _NOMAX_CLAMP)
     p = jnp.exp2(s - lse)                                          # [BQ, BK]
     if use_valid:
         p = p * (bias > NEG_INF * 0.5)
@@ -375,7 +384,7 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, use_valid=True):
 
     dqp, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, nq=nq,
-                          use_valid=use_valid),
+                          use_valid=use_valid, clamp=not _SAFE_SOFTMAX),
         grid=(b, nk, nq),
         in_specs=[
             pl.BlockSpec((1, bq, c), lambda ib, ik, iq: (ib, iq, 0)),

@@ -146,18 +146,32 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                        attn_impl: str = "auto",
                        split: str = "val",
                        mesh=None,
-                       dataset: tuple | None = None) -> dict[int, dict]:
+                       dataset: tuple | None = None,
+                       class_agnostic: bool | None = None) -> dict[int, dict]:
     """Instance AP with the reference's max_queries sweep
     (ade_instance.py:451-457: 50/100/150/200; city_instance.py:510:
     30/50/70/100). Returns {max_queries: summarize() stats}.
 
     `dataset`: optional prebuilt (ds, num_classes) — the training loop
     passes its cached val set so in-training eval skips reconstruction.
-    `mesh`: DP-shard the device eval (see `_iter_eval`)."""
+    `mesh`: DP-shard the device eval (see `_iter_eval`).
+
+    `class_agnostic` (default: True exactly for the coco_instance
+    recipe): score every instance as category 1. The coco_instance
+    training target is the reference's summed-mask map whose "classes"
+    are overlap counts (coco_instance.py:331-341), so predicted classes
+    can never align with real category ids; the reference's own final
+    eval accordingly RLE-encodes all detections with category_id=1
+    (coco_instance.py:395-403). Class-agnostic mask AP is the coherent
+    reading of that evaluation (its gt path is broken upstream —
+    val_annotations.json is never created, coco_instance.py:412)."""
     if max_queries is None:
         max_queries = recipe.eval_max_queries
     if use_embeddings is None:
         use_embeddings = recipe.embed_dim > 0
+    if class_agnostic is None:
+        class_agnostic = (recipe.dataset == "coco"
+                          and recipe.task == "instance")
     ragged_gt = None
     if (recipe.dataset == "coco" and recipe.task == "instance"
             and data_root is not None):
@@ -189,6 +203,9 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                     host["instance"][b], host["label"][b])
             else:
                 gt_inst = instances.get_instances_from_mask(host["label"][b])
+            if class_agnostic:
+                gt_inst = [{**g, "category_id": 1} for g in gt_inst]
+                pred_inst = [{**d, "category_id": 1} for d in pred_inst]
             for g in gt_inst:
                 gts.append({**g, "image_id": img_id})
             for d in pred_inst:
