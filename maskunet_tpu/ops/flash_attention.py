@@ -15,9 +15,18 @@ Forward + backward are both Pallas kernels (flash-attention-2 style
 recomputation), wired up with jax.custom_vjp so the 16k-token layer is
 trainable within v5e HBM at useful batch sizes.
 
-Grid layout (forward): (B, nQ, nK), innermost K dimension sequential
-("arbitrary") carrying the online-softmax state in VMEM scratch. Backward
-runs two kernels: dQ over (B, nQ, nK) and dK/dV over (B, nK, nQ).
+All kernels work in base-2 score space (pow2 is the TPU's native
+transcendental; log2e folds into the q block, and the chain-rule factors
+cancel in the backward). The default forward skips the online max
+entirely — a static clamp at 2^60 makes f32 overflow impossible — which
+removed ~1/5 of the 16k-token kernel's time (PERF.md r3);
+MASKUNET_SAFE_SOFTMAX=1 restores the online-max kernel.
+
+Grid layouts: forward (B, nQ, nK) with the K dimension sequential
+("arbitrary") carrying accumulator state in VMEM scratch; backward is ONE
+merged kernel over (B, nK, nQ) that computes the score/softmax blocks
+once — dK/dV accumulate in scratch, dQ partial blocks stream out and one
+XLA sum reduces them over nK.
 """
 
 from __future__ import annotations

@@ -134,7 +134,10 @@ def make_ade(root: str, n: int = 16, size: int = 96,
 
 
 def make_cityscapes(root: str, n: int = 16, size: int = 96) -> None:
-    num_classes = 8   # train ids < 19
+    # paint the full train-id range so THING classes (train ids 11-18,
+    # evaluation/panoptic.py cityscapes_things) actually occur — with
+    # ids <8 only, PQ Things evaluates over an empty set
+    num_classes = 19
     for split, count, seed in (("train", n, 0), ("val", max(n // 2, 4), 1)):
         img_dir = os.path.join(root, "leftImg8bit", split, "cityx")
         gt_dir = os.path.join(root, "gtFine", split, "cityx")
