@@ -21,8 +21,13 @@ import cv2
 import numpy as np
 
 
-def _paint_scene(rng, h, w, num_classes, max_objects=4):
+_NOISE_SIGMA = 6.0      # overridable via --noise: higher = harder task
+_MAX_OBJECTS = 4        # overridable via --objects
+
+
+def _paint_scene(rng, h, w, num_classes, max_objects=None):
     """Random rectangles -> (image, semantic, instance id map)."""
+    max_objects = max_objects or _MAX_OBJECTS
     palette = np.random.default_rng(777).integers(
         0, 256, (num_classes, 3)).astype(np.uint8)
     sem = np.zeros((h, w), np.int32)
@@ -37,7 +42,7 @@ def _paint_scene(rng, h, w, num_classes, max_objects=4):
         sem[y:y + hh, x:x + ww] = cls
         inst[y:y + hh, x:x + ww] = obj
         img[y:y + hh, x:x + ww] = palette[cls]
-    noise = rng.normal(0, 6, img.shape)
+    noise = rng.normal(0, _NOISE_SIGMA, img.shape)
     img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
     return img, sem, inst
 
@@ -158,8 +163,13 @@ def make_cityscapes(root: str, n: int = 16, size: int = 96) -> None:
 
 
 def main() -> None:
+    global _NOISE_SIGMA, _MAX_OBJECTS
     kind, root = sys.argv[1], sys.argv[2]
     n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 16
+    if "--noise" in sys.argv:
+        _NOISE_SIGMA = float(sys.argv[sys.argv.index("--noise") + 1])
+    if "--objects" in sys.argv:
+        _MAX_OBJECTS = int(sys.argv[sys.argv.index("--objects") + 1])
     {"coco": make_coco, "ade": make_ade,
      "cityscapes": make_cityscapes}[kind](root, n=n)
     print(f"wrote fake {kind} dataset to {root}")

@@ -35,6 +35,11 @@ def main() -> None:
                          "reference coco lr of 1e-5 needs real-data "
                          "step counts); recorded in each output row")
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="average metrics over N training seeds per "
+                         "fraction (single-seed runs are noisy near the "
+                         "plateau; the reference's trend chart is about "
+                         "the mean effect of data quantity)")
     args = ap.parse_args()
 
     import dataclasses
@@ -53,27 +58,36 @@ def main() -> None:
     results_path = os.path.join(args.workdir, "sweep_results.jsonl")
     with open(results_path, "a") as out:
         for frac in args.fractions:
-            workdir = os.path.join(args.workdir, f"frac_{int(frac * 100)}")
-            print(f"=== fraction {frac} -> {workdir} ===")
-            res = loop.train(recipe, args.data_root, workdir,
-                             max_epochs=args.max_epochs,
-                             data_fraction=frac,
-                             compute_dtype=args.compute_dtype,
-                             log_every=0, verbose=True)
-            pan = evaluators.evaluate_panoptic(
-                recipe, args.data_root, res.state,
-                max_batches=args.max_eval_batches)
-            record = {
-                "fraction": frac,
-                "train_loss": res.best_loss,
-                "train_miou": res.best_iou,
-                # compile-dominated short-run loop rate, NOT comparable
-                # to bench.py steady-state (VERDICT r2 weak #7)
-                "loop_img_per_sec_compile_dominated": res.images_per_sec,
-                "val_miou": pan["miou"],
-                "pq": pan["pq"]["All"]["pq"],
-                "ap": pan["ap"]["AP"],
-            }
+            per_seed = []
+            for s in range(args.seeds):
+                rec_s = dataclasses.replace(recipe, seed=recipe.seed + s)
+                workdir = os.path.join(
+                    args.workdir, f"frac_{int(frac * 100)}_s{s}")
+                print(f"=== fraction {frac} seed {rec_s.seed} "
+                      f"-> {workdir} ===")
+                res = loop.train(rec_s, args.data_root, workdir,
+                                 max_epochs=args.max_epochs,
+                                 data_fraction=frac,
+                                 compute_dtype=args.compute_dtype,
+                                 log_every=0, verbose=True)
+                pan = evaluators.evaluate_panoptic(
+                    rec_s, args.data_root, res.state,
+                    max_batches=args.max_eval_batches)
+                per_seed.append({
+                    "train_loss": res.best_loss,
+                    "train_miou": res.best_iou,
+                    "loop_img_per_sec_compile_dominated":
+                        res.images_per_sec,
+                    "val_miou": pan["miou"],
+                    "pq": pan["pq"]["All"]["pq"],
+                    "ap": pan["ap"]["AP"],
+                })
+            record = {"fraction": frac}
+            for k in per_seed[0]:
+                record[k] = sum(r[k] for r in per_seed) / len(per_seed)
+            record["seeds"] = args.seeds
+            if args.seeds > 1:
+                record["per_seed_pq"] = [r["pq"] for r in per_seed]
             if args.lr is not None:
                 record["lr_override"] = args.lr
             out.write(json.dumps(record) + "\n")
