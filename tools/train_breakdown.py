@@ -23,9 +23,9 @@ def main() -> None:
     import numpy as np
     import optax
 
-    from maskunet_tpu.core import state as state_lib
+    from maskunet_tpu.core import layers, state as state_lib
     from maskunet_tpu.models import maskattn_unet as mu
-    from maskunet_tpu.ops import attention
+    from maskunet_tpu.ops import attention, metrics_ops
     from maskunet_tpu.train import step as step_lib
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -39,6 +39,10 @@ def main() -> None:
     tx = optax.adamw(5e-5, weight_decay=1e-1)
 
     orig = attention.spatial_attention
+    orig_miou = metrics_ops.mean_iou
+    orig_ce = step_lib.cross_entropy
+    orig_bn = layers.batchnorm
+    orig_gelu = layers.gelu
 
     def timed_step(mode):
         def patched(p, xx, km, *, impl="dense", mesh=None):
@@ -52,16 +56,28 @@ def main() -> None:
             return orig(p, xx, km, impl=impl, mesh=mesh)
 
         attention.spatial_attention = patched
+        # numerics-changing ablations: cost probes only, never defaults
+        if mode == "nomiou":
+            metrics_ops.mean_iou = lambda lg, lb, c, **kw: jnp.float32(0)
+        if mode == "noce":    # trivial loss head; bwd still spans the model
+            step_lib.cross_entropy = lambda lg, lb, ig=None: jnp.mean(lg)
+        if mode == "nobnstat":   # running-stats BN: batch-stat cost probe
+            layers.batchnorm = lambda p, s, x, *, train, **kw: orig_bn(
+                p, s, x, train=False, **kw)
+        if mode == "nogelu":
+            layers.gelu = lambda x: x
+        tx_local = optax.sgd(5e-5) if mode == "sgd" else tx
         try:
             params, mstate = mu.init(jax.random.key(0), cfg)
             masks = mu.make_attention_masks(jax.random.key(1), batch, 128)
-            ts = state_lib.create(jax.random.key(2), params, mstate, tx,
-                                  masks=masks)
+            ts = state_lib.create(jax.random.key(2), params, mstate,
+                                  tx_local, masks=masks)
             dropout_rate = 0.0 if mode == "nodrop" else cfg.dropout_rate
             import dataclasses
             cfg2 = dataclasses.replace(cfg, dropout_rate=dropout_rate)
             train_step = jax.jit(
-                step_lib.make_train_step(cfg2, step_lib.TaskConfig(), tx),
+                step_lib.make_train_step(cfg2, step_lib.TaskConfig(),
+                                         tx_local),
                 donate_argnums=(0,))
             ts, m = train_step(ts, batch_data)
             float(m["loss"])   # scalar host fetch: the reliable fence
@@ -77,20 +93,39 @@ def main() -> None:
             return best, float(m["loss"])
         finally:
             attention.spatial_attention = orig
+            metrics_ops.mean_iou = orig_miou
+            step_lib.cross_entropy = orig_ce
+            layers.batchnorm = orig_bn
+            layers.gelu = orig_gelu
 
+    modes = ["full", "noattn", "no16k", "no4k", "nodrop",
+             "nomiou", "noce", "nobnstat", "nogelu", "sgd"]
+    if len(sys.argv) > 2:
+        modes = ["full"] + sys.argv[2].split(",")
     results = {}
-    for mode in ["full", "noattn", "no16k", "no4k", "nodrop"]:
+    for mode in modes:
         ms, loss = timed_step(mode)
         results[mode] = ms
         print(f"{mode:8s} {ms * 1e3:7.2f} ms/step  "
               f"({batch / ms:6.1f} img/s)  loss={loss:.4f}", flush=True)
 
     full = results["full"]
-    print(f"\nattn total fwd+bwd : {(full - results['noattn']) * 1e3:6.2f} ms")
-    print(f"attn6 fwd+bwd      : {(full - results['no16k']) * 1e3:6.2f} ms")
-    print(f"attn1/5 fwd+bwd    : {(full - results['no4k']) * 1e3:6.2f} ms")
-    print(f"conv+opt (noattn)  : {results['noattn'] * 1e3:6.2f} ms")
-    print(f"dropout cost       : {(full - results['nodrop']) * 1e3:6.2f} ms")
+
+    def delta(name, label):
+        if name in results:
+            print(f"{label:19s}: {(full - results[name]) * 1e3:6.2f} ms")
+
+    delta("noattn", "attn total fwd+bwd")
+    delta("no16k", "attn6 fwd+bwd")
+    delta("no4k", "attn1/5 fwd+bwd")
+    if "noattn" in results:
+        print(f"conv+opt (noattn)  : {results['noattn'] * 1e3:6.2f} ms")
+    delta("nodrop", "dropout cost")
+    delta("nomiou", "train-miou cost")
+    delta("noce", "CE loss cost")
+    delta("nobnstat", "BN batch-stat cost")
+    delta("nogelu", "GELU cost")
+    delta("sgd", "AdamW-over-SGD cost")
 
 
 if __name__ == "__main__":
