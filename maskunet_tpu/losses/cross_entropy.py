@@ -22,8 +22,12 @@ def cross_entropy(logits: jax.Array, labels: jax.Array,
         keep &= labels != ignore_index
     safe_labels = jnp.where(keep, labels, 0)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, safe_labels[..., None],
-                                 axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the gather's
+    # backward is a per-pixel scatter-add, which serializes on the TPU
+    # VPU; the one-hot compare fuses into the reduce in both directions
+    picked = jnp.sum(
+        logits * jax.nn.one_hot(safe_labels, logits.shape[-1],
+                                dtype=logits.dtype), axis=-1)
     nll = logz - picked
     mask = keep.astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -6,9 +6,12 @@ the faithful probability path used elsewhere), per-class intersection/union
 over the *whole batch*, classes with union 0 skipped, smoothing 1e-6.
 
 Unlike the reference's per-class python loop (a host-synced GPU loop,
-SURVEY.md §3.1 hot spot 2), the counts come from two one-shot bincounts —
-one kernel launch, fully on-device, and correct under pjit (the sums reduce
-over the sharded batch axis with XLA collectives).
+SURVEY.md §3.1 hot spot 2), the counts come from scatter-free one-hot
+contractions — fully on-device, fused by XLA into streamed
+compare-multiply-reduces (TPU scatter-adds, which `bincount` lowers to,
+serialize on the VPU and cost ~3 ms/step at batch 8 — measured with
+`tools/train_breakdown.py` nomiou), and correct under pjit (the sums
+reduce over the sharded batch axis with XLA collectives).
 """
 
 from __future__ import annotations
@@ -40,12 +43,18 @@ def iou_counts(pred: jax.Array, labels: jax.Array, num_classes: int,
     keep = labels >= 0   # negative labels = padded eval rows, always out
     if ignore_index is not None:
         keep &= labels != ignore_index
-    inter = jnp.bincount(jnp.where(eq & keep, pred, num_classes),
-                         length=num_classes + 1)[:num_classes]
-    pred_count = jnp.bincount(jnp.where(keep, pred, num_classes),
-                              length=num_classes + 1)[:num_classes]
-    true_count = jnp.bincount(jnp.where(keep, labels, num_classes),
-                              length=num_classes + 1)[:num_classes]
+    # Scatter-free histograms: one_hot(v)[n, c] compares fuse into the
+    # per-class reduction (out-of-range values — e.g. raw 255 ignore
+    # labels — one_hot to all-zero rows, matching bincount's drop
+    # semantics). f32 accumulation of 0/1 weights is exact below 2^24
+    # pixels per call (a 128x128 batch of 1024 images).
+    oh_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    oh_true = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    w_keep = keep.astype(jnp.float32)
+    w_eq = (eq & keep).astype(jnp.float32)
+    inter = jnp.einsum("n,nc->c", w_eq, oh_pred).astype(jnp.int32)
+    pred_count = jnp.einsum("n,nc->c", w_keep, oh_pred).astype(jnp.int32)
+    true_count = jnp.einsum("n,nc->c", w_keep, oh_true).astype(jnp.int32)
     union = pred_count + true_count - inter
     return inter, union
 

@@ -109,6 +109,9 @@ def main() -> None:
                     help="fail if any panoptic/instance recipe reports "
                          "PQ or AP of 0 — turns this into a metric-path "
                          "regression check, not just a plumbing check")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="run only these recipes and merge their rows "
+                         "into an existing --out file (other rows kept)")
     args = ap.parse_args()
 
     from maskunet_tpu.utils import compile_cache
@@ -117,6 +120,11 @@ def main() -> None:
     names = ["ade_semantic", "ade_instance", "ade_panoptic",
              "city_semantic", "city_instance", "city_panoptic",
              "coco_semantic", "coco_instance", "coco_panoptic"]
+    if args.only:
+        unknown = set(args.only) - set(names)
+        if unknown:
+            raise SystemExit(f"unknown recipes: {sorted(unknown)}")
+        names = [n for n in names if n in args.only]
     rows = []
     for name in names:
         print(f"=== {name}", flush=True)
@@ -128,13 +136,21 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    with open(args.out, "w") as f:
-        json.dump({"epochs": args.epochs, "n_train_images": args.n,
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            summary = json.load(f)
+        fresh = {r["recipe"]: r for r in rows}
+        summary["rows"] = [fresh.get(r["recipe"], r)
+                           for r in summary["rows"]]
+    else:
+        summary = {"epochs": args.epochs, "n_train_images": args.n,
                    "lr_override": args.lr,
                    "throughput_note": ("loop_img_per_sec_compile_dominated"
                                        " is a short-run loop rate; bench.py"
                                        " is the representative number"),
-                   "rows": rows}, f, indent=1)
+                   "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
     failed = [r["recipe"] for r in rows if "error" in r]
     zeroed = [r["recipe"] for r in rows
               if ("pq" in r and r["pq"] <= 0.0)
