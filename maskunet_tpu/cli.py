@@ -11,6 +11,8 @@ configs:
         --data-root /data/ADEK --workdir runs/ade [--tag best]
     python -m maskunet_tpu.cli visualize --recipe ... --workdir runs/ade
     python -m maskunet_tpu.cli predict --recipe ... --images dir/ --out masks/
+    python -m maskunet_tpu.cli import-torch --recipe ... \
+        --torch-checkpoint checkpoint_ade.pth   # reference .pth -> ours
     python -m maskunet_tpu.serve --recipe ... --port 8799   # HTTP serving
     python bench.py [batch]                   # one-line JSON throughput
 """
@@ -119,6 +121,17 @@ def main(argv=None) -> int:
     pp.add_argument("--num-classes", type=int, default=None,
                     help="override when no dataset root is given")
     pp.add_argument("--panels", action="store_true")
+
+    ip = sub.add_parser(
+        "import-torch",
+        help="convert a reference PyTorch .pth state_dict into a "
+             "checkpoint this package's evaluate/predict/serve/train "
+             "--init-from can load")
+    _add_common(ip)
+    ip.add_argument("--torch-checkpoint", required=True,
+                    help="reference checkpoint (e.g. checkpoint_ade.pth)")
+    ip.add_argument("--num-classes", type=int, default=None,
+                    help="override when no dataset root is given")
 
     args = parser.parse_args(argv)
 
@@ -295,6 +308,43 @@ def main(argv=None) -> int:
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
             save_panels=args.panels)
         print(json.dumps({"written": len(written), "out": args.out}))
+        return 0
+
+    if args.cmd == "import-torch":
+        import optax
+
+        from maskunet_tpu.core import checkpoint as ckpt_lib
+        from maskunet_tpu.train import loop
+        from maskunet_tpu.utils import torch_import
+
+        if args.num_classes is not None:
+            num_classes = args.num_classes
+        else:
+            from maskunet_tpu.tasks.datasets import make_datasets
+            _, _, num_classes = make_datasets(recipe, args.data_root)
+        cfg = loop.model_config(recipe, num_classes,
+                                attn_impl=args.attn_impl,
+                                compute_dtype=args.compute_dtype)
+        tx = optax.adamw(recipe.lr, weight_decay=recipe.weight_decay)
+        ts = loop.setup_state(recipe, cfg, tx)
+        sd = torch_import.load_torch_checkpoint(args.torch_checkpoint)
+        params, mstate, report = torch_import.convert_state_dict(
+            sd, ts.params, ts.model_state, embed_dim=cfg.embed_dim,
+            with_boundary_head=cfg.with_boundary_head)
+        if report["unexpected"]:
+            print(f"warning: unmapped checkpoint keys: "
+                  f"{report['unexpected']}", file=sys.stderr)
+        ts = ts.replace(params=params, model_state=mstate)
+        manager = ckpt_lib.CheckpointManager(args.workdir,
+                                             recipe.checkpoint_name,
+                                             async_saves=False)
+        # write both tags: evaluate/predict/serve default to 'best',
+        # resume/--init-from read 'latest'
+        path = manager.save_best(ts)
+        manager.save_latest(ts)
+        print(json.dumps({"imported": args.torch_checkpoint,
+                          "checkpoint": path,
+                          "ignored_keys": len(report["ignored"])}))
         return 0
 
     return 1
