@@ -98,8 +98,17 @@ def to_device(batch: dict[str, np.ndarray], *, sharding=None) -> dict:
 
     out = {}
     for k, v in batch.items():
-        arr = jax.device_put(v, sharding) if sharding is not None \
-            else jax.device_put(v)
+        if sharding is not None and not sharding.is_fully_addressable:
+            # multi-process mesh: every process decodes the identical
+            # global batch (seeded pipeline); supply the local shards
+            # directly — device_put would run a cross-process equality
+            # collective on every array of every step
+            arr = jax.make_array_from_callback(
+                v.shape, sharding, lambda idx, a=v: a[idx])
+        elif sharding is not None:
+            arr = jax.device_put(v, sharding)
+        else:
+            arr = jax.device_put(v)
         if k == "image" and v.dtype == np.uint8:
             arr = arr.astype(jnp.float32) / 255.0
         out[k] = arr

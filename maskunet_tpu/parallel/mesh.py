@@ -51,7 +51,26 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def put_replicated(mesh: Mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    sh = replicated(mesh)
+    if not sh.is_fully_addressable:
+        # Multi-process mesh: device_put onto a sharding spanning other
+        # processes only accepts host values, and runs a per-leaf
+        # cross-process equality collective that is prohibitively slow
+        # for a full train state. Every process holds the identical
+        # state (same seed, same init), so build the global arrays
+        # directly from local host buffers. Typed PRNG keys go through
+        # key_data bits and are re-wrapped on the global mesh.
+        def put(leaf):
+            if isinstance(leaf, jax.Array) and jax.dtypes.issubdtype(
+                    leaf.dtype, jax.dtypes.prng_key):
+                impl = jax.random.key_impl(leaf)
+                bits = put(jax.random.key_data(leaf))
+                return jax.random.wrap_key_data(bits, impl=impl)
+            host = np.asarray(jax.device_get(leaf))
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx, a=host: a[idx])
+        return jax.tree_util.tree_map(put, tree)
+    return jax.device_put(tree, sh)
 
 
 def channels_tp_spec() -> P:

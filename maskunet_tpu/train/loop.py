@@ -134,6 +134,12 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             print(f"warm start from {init_from}; "
                   f"{len(skipped)} leaves kept fresh")
 
+    # Multi-process SPMD (jax.distributed.initialize'd): every process
+    # computes the full replicated state, but only the lead process writes
+    # checkpoints and metric logs — the others would race on the same files
+    # with identical contents. Single-process runs are always the lead.
+    is_lead = jax.process_index() == 0
+
     manager = ckpt_lib.CheckpointManager(workdir, recipe.checkpoint_name)
     if resume and manager.has("latest"):
         ts = manager.restore(ts, "latest")
@@ -154,8 +160,9 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     # `current` indirection: the callback must save the state at call time,
     # not the init-time binding.
     current: dict[str, Any] = {"ts": ts}
-    early = EarlyStopping(recipe.patience, verbose=verbose,
-                          on_improve=lambda: manager.save_best(current["ts"]))
+    early = EarlyStopping(
+        recipe.patience, verbose=verbose,
+        on_improve=lambda: is_lead and manager.save_best(current["ts"]))
     guard = OverfitGuard(recipe.overfit_margin)
 
     # grad_accum > 1: the loop feeds grad_accum * batch_size examples per
@@ -195,7 +202,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 # independent of log_every (the reference nests its save
                 # inside the print cadence, ade_semantic.py:408-412 — here
                 # that coupling silently disabled saves for log_every=0)
-                if ckpt_every and i % ckpt_every == 0 and i != 0:
+                if ckpt_every and i % ckpt_every == 0 and i != 0 \
+                        and is_lead:
                     manager.save_latest(ts)
                 if max_steps is not None and steps_done >= max_steps:
                     break
@@ -244,12 +252,14 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                     mesh=mesh, dataset=(val_ds, num_classes))
                 record["val_ap"] = inst[q]["AP"]
         history.append(record)
-        logger.log(record)
+        if is_lead:
+            logger.log(record)
         if verbose:
             print(f"epoch [{epoch + 1}/{epochs}] loss {avg_loss:.4f} "
                   f"iou {avg_iou:.4f} "
                   f"({record['images_per_sec']} img/s)")
-        manager.save_latest(ts)
+        if is_lead:
+            manager.save_latest(ts)
 
         if max_steps is not None and steps_done >= max_steps:
             break

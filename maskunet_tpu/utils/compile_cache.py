@@ -15,6 +15,12 @@ import os
 def enable(path: str = "~/.cache/maskunet_tpu/xla") -> None:
     import jax
 
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # explicit env override wins (hermetic tests, multi-tenant hosts
+        # where ~/.cache may hold entries from a different machine —
+        # XLA:CPU AOT results are ISA-specific and a foreign entry can
+        # poison multi-process collective setup)
+        return
     cache_dir = os.path.expanduser(path)
     os.makedirs(cache_dir, exist_ok=True)
     try:
