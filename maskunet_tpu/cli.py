@@ -133,6 +133,19 @@ def main(argv=None) -> int:
     ip.add_argument("--num-classes", type=int, default=None,
                     help="override when no dataset root is given")
 
+    xp = sub.add_parser(
+        "export",
+        help="freeze a checkpoint into a self-contained StableHLO "
+             "serving artifact (see maskunet_tpu.export)")
+    _add_common(xp)
+    xp.add_argument("--tag", default="best", choices=["best", "latest"])
+    xp.add_argument("--out", required=True, help="artifact directory")
+    xp.add_argument("--num-classes", type=int, default=None,
+                    help="override when no dataset root is given")
+    xp.add_argument("--batch-size", type=int, default=None)
+    xp.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. tpu,cpu")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "recipes":
@@ -308,6 +321,25 @@ def main(argv=None) -> int:
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
             save_panels=args.panels)
         print(json.dumps({"written": len(written), "out": args.out}))
+        return 0
+
+    if args.cmd == "export":
+        from maskunet_tpu import export as export_lib
+
+        if args.num_classes is not None:
+            num_classes = args.num_classes
+        else:
+            from maskunet_tpu.tasks.datasets import make_datasets
+            _, _, num_classes = make_datasets(recipe, args.data_root)
+        platforms = args.platforms.split(",") if args.platforms else None
+        out = export_lib.export_serving_artifact(
+            recipe, num_classes, args.workdir, args.tag, args.out,
+            attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
+            batch_size=args.batch_size, platforms=platforms)
+        import os
+        print(json.dumps({"exported": out,
+                          "bytes": os.path.getsize(
+                              os.path.join(out, export_lib.MODULE_NAME))}))
         return 0
 
     if args.cmd == "import-torch":

@@ -117,11 +117,17 @@ class _Batcher:
                     ms if ema == 0.0 else 0.9 * ema + 0.1 * ms, 2)
 
 
-def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
+def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
                        *, attn_impl: str = "auto",
                        compute_dtype: str = "bfloat16",
                        batch_size: int | None = None):
-    """Returns (runner(images_uint8 [B,H,W,3]) -> class maps, img_size)."""
+    """Builds the folded serving forward and its operands.
+
+    Returns ``(forward, infer_params, masks, cfg)`` where ``forward(params,
+    masks, x_uint8)`` is a jitted class-map prediction. Shared by the live
+    server (`build_model_runner`) and the AOT exporter
+    (`maskunet_tpu.export`), so both serve exactly the same computation.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -162,8 +168,20 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
                           masks=masks, train=False, folded=True)
         return jnp.argmax(out.semantic, axis=-1).astype(jnp.uint8)
 
+    return forward, infer_params, ts.masks, cfg
+
+
+def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
+                       *, attn_impl: str = "auto",
+                       compute_dtype: str = "bfloat16",
+                       batch_size: int | None = None):
+    """Returns (runner(images_uint8 [B,H,W,3]) -> class maps, img_size)."""
+    forward, infer_params, masks, cfg = build_inference_fn(
+        recipe, num_classes, workdir, tag, attn_impl=attn_impl,
+        compute_dtype=compute_dtype, batch_size=batch_size)
+
     def runner(images: np.ndarray) -> np.ndarray:
-        return np.asarray(forward(infer_params, ts.masks, images))
+        return np.asarray(forward(infer_params, masks, images))
 
     return runner, cfg.img_size
 
@@ -230,7 +248,11 @@ def main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--recipe", required=True)
+    ap.add_argument("--recipe")
+    ap.add_argument("--artifact", default=None,
+                    help="serve a jax.export artifact directory "
+                         "(maskunet_tpu.export) instead of building the "
+                         "model from a checkpoint")
     ap.add_argument("--workdir", default="runs")
     ap.add_argument("--tag", default="best")
     ap.add_argument("--data-root", default=None)
@@ -249,19 +271,31 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     from maskunet_tpu.utils import compile_cache
     compile_cache.enable()
-    from maskunet_tpu.tasks import recipes as recipes_lib
 
-    recipe = recipes_lib.get(args.recipe)
-    if args.num_classes is not None:
-        num_classes = args.num_classes
+    if args.artifact:
+        from maskunet_tpu import export as export_lib
+        runner, meta = export_lib.load_serving_artifact(args.artifact)
+        num_classes = meta["num_classes"]
+        img_size = meta["img_size"]
+        batch = meta["batch_size"]
+        served = meta.get("recipe", args.artifact)
     else:
-        from maskunet_tpu.tasks.datasets import make_datasets
-        _, _, num_classes = make_datasets(recipe, args.data_root)
-    batch = args.batch_size or recipe.batch_size
+        if not args.recipe:
+            ap.error("--recipe is required unless --artifact is given")
+        from maskunet_tpu.tasks import recipes as recipes_lib
 
-    runner, img_size = build_model_runner(
-        recipe, num_classes, args.workdir, args.tag,
-        compute_dtype=args.compute_dtype, batch_size=batch)
+        recipe = recipes_lib.get(args.recipe)
+        if args.num_classes is not None:
+            num_classes = args.num_classes
+        else:
+            from maskunet_tpu.tasks.datasets import make_datasets
+            _, _, num_classes = make_datasets(recipe, args.data_root)
+        batch = args.batch_size or recipe.batch_size
+
+        runner, img_size = build_model_runner(
+            recipe, num_classes, args.workdir, args.tag,
+            compute_dtype=args.compute_dtype, batch_size=batch)
+        served = args.recipe
     # warm the compile before accepting traffic
     runner(np.zeros((batch, img_size, img_size, 3), np.uint8))
     batcher = _Batcher(runner, batch, args.max_wait_ms,
@@ -270,7 +304,7 @@ def main(argv=None) -> int:
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
         make_handler(batcher, img_size, num_classes))
-    print(json.dumps({"serving": args.recipe, "port": args.port,
+    print(json.dumps({"serving": served, "port": args.port,
                       "batch_size": batch, "img_size": img_size}),
           flush=True)
     server.serve_forever()
