@@ -145,6 +145,9 @@ def main(argv=None) -> int:
     xp.add_argument("--batch-size", type=int, default=None)
     xp.add_argument("--platforms", default=None,
                     help="comma-separated lowering targets, e.g. tpu,cpu")
+    xp.add_argument("--quantize", default=None, choices=["int8"],
+                    help="bake int8 conv weights (4x smaller artifact, "
+                         "double MXU rate; not bit-parity with bf16)")
 
     args = parser.parse_args(argv)
 
@@ -335,7 +338,8 @@ def main(argv=None) -> int:
         out = export_lib.export_serving_artifact(
             recipe, num_classes, args.workdir, args.tag, args.out,
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
-            batch_size=args.batch_size, platforms=platforms)
+            batch_size=args.batch_size, platforms=platforms,
+            quantize=args.quantize)
         import os
         print(json.dumps({"exported": out,
                           "bytes": os.path.getsize(

@@ -51,7 +51,29 @@ def conv2d(params: Params, x: jax.Array, *, stride: int = 1,
            padding: str = "SAME") -> jax.Array:
     """NHWC conv with HWIO kernel. bf16 inputs accumulate in f32 on the
     TPU MXU by default; an explicit preferred_element_type is avoided
-    because its transpose rule breaks mixed-dtype autodiff."""
+    because its transpose rule breaks mixed-dtype autodiff.
+
+    Params holding ``kernel_q``/``w_scale`` (from
+    `maskattn_unet.quantize_params_for_inference`) route through the
+    int8 path: dynamic per-tensor symmetric activation quantization,
+    int8xint8->int32 conv (double MXU rate vs bf16 on v5e), f32 dequant
+    by ``act_scale * w_scale[cout]``. Serving-only — `round` has no
+    gradient."""
+    if "kernel_q" in params:
+        a = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+        a = jnp.maximum(a, 1e-12)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, params["kernel_q"],
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (a * params["w_scale"])
+        if "bias" in params:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
     kernel = params["kernel"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel,

@@ -36,11 +36,14 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
                             attn_impl: str = "auto",
                             compute_dtype: str = "bfloat16",
                             batch_size: int | None = None,
-                            platforms=None) -> str:
+                            platforms=None,
+                            quantize: str | None = None) -> str:
     """Export the folded serving forward for `recipe` to `out_dir`.
 
     `platforms`: optional sequence like ("tpu", "cpu") to lower for
     multiple targets; default is the current backend only.
+    `quantize="int8"`: bake int8 conv weights (4x smaller artifact,
+    double MXU rate on v5e).
     """
     import jax
 
@@ -48,7 +51,8 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
 
     forward, infer_params, masks, cfg = serve.build_inference_fn(
         recipe, num_classes, workdir, tag, attn_impl=attn_impl,
-        compute_dtype=compute_dtype, batch_size=batch_size)
+        compute_dtype=compute_dtype, batch_size=batch_size,
+        quantize=quantize)
     batch = batch_size or recipe.batch_size
 
     # close over weights + serving masks: they become constants in the
@@ -78,6 +82,7 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
         "num_classes": num_classes,
         "batch_size": batch,
         "compute_dtype": compute_dtype,
+        "quantize": quantize,
         "attn_impl": cfg.resolve_attn_impl(),
         "platforms": list(exported.platforms),
         "input_shape": [batch, cfg.img_size, cfg.img_size, 3],
@@ -125,6 +130,7 @@ def main(argv=None) -> int:
     ap.add_argument("--attn-impl", default="auto",
                     choices=["auto", "dense", "flash"])
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--quantize", default=None, choices=["int8"])
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering targets, e.g. tpu,cpu")
     ap.add_argument("--platform", default=None,
@@ -140,7 +146,8 @@ def main(argv=None) -> int:
     out = export_serving_artifact(
         recipe, args.num_classes, args.workdir, args.tag, args.out,
         attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
-        batch_size=args.batch_size, platforms=platforms)
+        batch_size=args.batch_size, platforms=platforms,
+        quantize=args.quantize)
     with open(os.path.join(out, META_NAME)) as f:
         print(f.read())
     return 0

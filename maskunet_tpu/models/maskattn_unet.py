@@ -396,6 +396,44 @@ def fold_bn_for_inference(params: dict, state: dict,
     return out
 
 
+def quantize_params_for_inference(params: dict) -> dict:
+    """Post-training int8 quantization of the folded conv weights.
+
+    Per-output-channel symmetric scales: ``w_scale[c] = max|K[...,c]|/127``,
+    ``kernel_q = round(K / w_scale)`` (int8). `layers.conv2d` detects the
+    quantized form and runs the int8xint8->int32 conv with dynamic
+    per-tensor activation quantization — on v5e the MXU's int8 rate is 2x
+    bf16, and int8 constants quarter the exported-artifact size. Only 4-D
+    conv kernels are touched (the attention linears feed the Pallas flash
+    kernel and stay bf16); apply to the output of `fold_bn_for_inference`.
+    An optional deployment trade (serve/export ``--quantize int8``): exact
+    class-map parity with the bf16 path is NOT guaranteed — the error
+    bound is test-locked in tests/test_quantize.py instead.
+
+    Targets the TPU MXU. XLA:CPU executes int8 convs on a slow scalar
+    path (minutes per 64px batch-8 forward) — fine for the tiny-model
+    tests, not for CPU serving.
+    """
+    def quant(leaf_dict):
+        k = leaf_dict["kernel"].astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)),
+                            1e-12) / 127.0
+        kq = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+        out = {"kernel_q": kq, "w_scale": scale}
+        if "bias" in leaf_dict:
+            out["bias"] = leaf_dict["bias"]
+        return out
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and node["kernel"].ndim == 4:
+                return quant(node)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def cast_params_for_inference(params: dict, dtype=jnp.bfloat16) -> dict:
     """Pre-cast matmul/conv weights to the compute dtype for serving.
 

@@ -120,7 +120,8 @@ class _Batcher:
 def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
                        *, attn_impl: str = "auto",
                        compute_dtype: str = "bfloat16",
-                       batch_size: int | None = None):
+                       batch_size: int | None = None,
+                       quantize: str | None = None):
     """Builds the folded serving forward and its operands.
 
     Returns ``(forward, infer_params, masks, cfg)`` where ``forward(params,
@@ -158,6 +159,12 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
     # pre-cast to the compute dtype (PERF.md: no BN passes + no f32
     # weight DMAs per step)
     infer_params = mu.fold_bn_for_inference(ts.params, ts.model_state, cfg)
+    if quantize == "int8":
+        # optional deployment trade: int8 convs (double MXU rate, 4x
+        # smaller conv constants); error bound test-locked, not bit-parity
+        infer_params = mu.quantize_params_for_inference(infer_params)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     if compute_dtype == "bfloat16":
         infer_params = mu.cast_params_for_inference(infer_params)
 
@@ -174,11 +181,13 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
 def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
                        *, attn_impl: str = "auto",
                        compute_dtype: str = "bfloat16",
-                       batch_size: int | None = None):
+                       batch_size: int | None = None,
+                       quantize: str | None = None):
     """Returns (runner(images_uint8 [B,H,W,3]) -> class maps, img_size)."""
     forward, infer_params, masks, cfg = build_inference_fn(
         recipe, num_classes, workdir, tag, attn_impl=attn_impl,
-        compute_dtype=compute_dtype, batch_size=batch_size)
+        compute_dtype=compute_dtype, batch_size=batch_size,
+        quantize=quantize)
 
     def runner(images: np.ndarray) -> np.ndarray:
         return np.asarray(forward(infer_params, masks, images))
@@ -264,6 +273,9 @@ def main(argv=None) -> int:
                     help="per-request wall clock before a 503")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="int8-quantize the conv weights (double MXU "
+                         "rate; error bound test-locked, not bit-parity)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -294,7 +306,8 @@ def main(argv=None) -> int:
 
         runner, img_size = build_model_runner(
             recipe, num_classes, args.workdir, args.tag,
-            compute_dtype=args.compute_dtype, batch_size=batch)
+            compute_dtype=args.compute_dtype, batch_size=batch,
+            quantize=args.quantize)
         served = args.recipe
     # warm the compile before accepting traffic
     runner(np.zeros((batch, img_size, img_size, 3), np.uint8))

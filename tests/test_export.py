@@ -95,6 +95,20 @@ def test_served_from_artifact(artifact):
         httpd.shutdown()
 
 
+def test_multiplatform_export(tiny_recipe, tmp_path):
+    # a CPU dev box can emit an artifact that also carries the TPU
+    # lowering (jax.export multi-platform): build fleet artifacts
+    # without a chip attached. (The flash-attention path must be
+    # exported on a TPU host; this covers the dense path.)
+    out = tmp_path / "mp"
+    export_lib.export_serving_artifact(
+        tiny_recipe, 8, "/tmp/nonexistent_workdir", "best", str(out),
+        compute_dtype="float32", batch_size=2, platforms=["cpu", "tpu"])
+    runner, meta = export_lib.load_serving_artifact(str(out))
+    assert sorted(meta["platforms"]) == ["cpu", "tpu"]
+    assert runner(np.zeros((2, 32, 32, 3), np.uint8)).shape == (2, 32, 32)
+
+
 def test_cli_export_subcommand(tiny_recipe, tmp_path, monkeypatch):
     # go through the real CLI wiring (recipe lookup happens by name, so
     # register the tiny recipe under a temp name)
