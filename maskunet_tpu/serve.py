@@ -121,13 +121,20 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
                        *, attn_impl: str = "auto",
                        compute_dtype: str = "bfloat16",
                        batch_size: int | None = None,
-                       quantize: str | None = None):
+                       quantize: str | None = None,
+                       mesh=None):
     """Builds the folded serving forward and its operands.
 
     Returns ``(forward, infer_params, masks, cfg)`` where ``forward(params,
     masks, x_uint8)`` is a jitted class-map prediction. Shared by the live
     server (`build_model_runner`) and the AOT exporter
     (`maskunet_tpu.export`), so both serve exactly the same computation.
+
+    `mesh`: optional data-parallel mesh (`parallel.mesh.make_mesh`) — the
+    serving batch shards over the ``data`` axis (params replicated), so a
+    multi-chip host serves one large batch cooperatively. The batch size
+    must divide by the data-axis size. Not supported for export (the
+    artifact is per-chip; shard at the request router instead).
     """
     import jax
     import jax.numpy as jnp
@@ -158,6 +165,11 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
     # serving fast path: fold all BN affines into the convs, then
     # pre-cast to the compute dtype (PERF.md: no BN passes + no f32
     # weight DMAs per step)
+    if mesh is not None and batch % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"serving batch {batch} must divide by the data-axis size "
+            f"{mesh.shape['data']}")
+
     infer_params = mu.fold_bn_for_inference(ts.params, ts.model_state, cfg)
     if quantize == "int8":
         # optional deployment trade: int8 convs (double MXU rate, 4x
@@ -168,29 +180,47 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
     if compute_dtype == "bfloat16":
         infer_params = mu.cast_params_for_inference(infer_params)
 
+    masks = ts.masks
+    if mesh is not None:
+        # params replicated, per-slot masks + batch sharded on `data`
+        from maskunet_tpu.parallel import mesh as mesh_lib
+        infer_params = jax.device_put(infer_params,
+                                      mesh_lib.replicated(mesh))
+        if masks is not None:
+            masks = jax.device_put(masks, mesh_lib.batch_sharding(mesh))
+
     @jax.jit
     def forward(params, masks, x):
         out, _ = mu.apply(params, None,
                           x.astype(jnp.float32) / 255.0, cfg=cfg,
-                          masks=masks, train=False, folded=True)
+                          masks=masks, train=False, folded=True,
+                          mesh=mesh)
         return jnp.argmax(out.semantic, axis=-1).astype(jnp.uint8)
 
-    return forward, infer_params, ts.masks, cfg
+    return forward, infer_params, masks, cfg
 
 
 def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
                        *, attn_impl: str = "auto",
                        compute_dtype: str = "bfloat16",
                        batch_size: int | None = None,
-                       quantize: str | None = None):
+                       quantize: str | None = None,
+                       mesh=None):
     """Returns (runner(images_uint8 [B,H,W,3]) -> class maps, img_size)."""
     forward, infer_params, masks, cfg = build_inference_fn(
         recipe, num_classes, workdir, tag, attn_impl=attn_impl,
         compute_dtype=compute_dtype, batch_size=batch_size,
-        quantize=quantize)
+        quantize=quantize, mesh=mesh)
 
-    def runner(images: np.ndarray) -> np.ndarray:
-        return np.asarray(forward(infer_params, masks, images))
+    if mesh is None:
+        def runner(images: np.ndarray) -> np.ndarray:
+            return np.asarray(forward(infer_params, masks, images))
+    else:
+        from maskunet_tpu.parallel import mesh as mesh_lib
+
+        def runner(images: np.ndarray) -> np.ndarray:
+            x = mesh_lib.shard_batch(mesh, np.ascontiguousarray(images))
+            return np.asarray(forward(infer_params, masks, x))
 
     return runner, cfg.img_size
 
@@ -276,6 +306,9 @@ def main(argv=None) -> int:
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="int8-quantize the conv weights (double MXU "
                          "rate; error bound test-locked, not bit-parity)")
+    ap.add_argument("--n-data", type=int, default=None,
+                    help="data-parallel serving mesh size: the batch "
+                         "shards over N chips (must divide batch size)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -304,10 +337,20 @@ def main(argv=None) -> int:
             _, _, num_classes = make_datasets(recipe, args.data_root)
         batch = args.batch_size or recipe.batch_size
 
+        mesh = None
+        if args.n_data is not None:
+            import jax
+
+            from maskunet_tpu.parallel import mesh as mesh_lib
+            # "use N chips": unlike training (whole-host mesh), a serving
+            # process may own a subset of the host's devices
+            mesh = mesh_lib.make_mesh(
+                n_data=args.n_data,
+                devices=jax.devices()[:args.n_data])
         runner, img_size = build_model_runner(
             recipe, num_classes, args.workdir, args.tag,
             compute_dtype=args.compute_dtype, batch_size=batch,
-            quantize=args.quantize)
+            quantize=args.quantize, mesh=mesh)
         served = args.recipe
     # warm the compile before accepting traffic
     runner(np.zeros((batch, img_size, img_size, 3), np.uint8))

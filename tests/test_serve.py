@@ -7,6 +7,7 @@ import urllib.request
 from http.server import ThreadingHTTPServer
 
 import cv2
+import jax
 import numpy as np
 import pytest
 
@@ -98,6 +99,38 @@ def test_serving_masks_batch_size_invariant():
         feed = np.repeat(img[None], batch, axis=0)
         outs.append(np.asarray(runner(feed)[0]))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_dp_serving_matches_single_device():
+    """`serve --n-data N` shards the serving batch over a data mesh; the
+    class maps must equal the single-device runner's bit-exactly (DP is
+    math-preserving: params replicated, batch split)."""
+    from maskunet_tpu.parallel import mesh as mesh_lib
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=4)
+    images = np.random.default_rng(5).integers(
+        0, 255, (4, 32, 32, 3)).astype(np.uint8)
+    single, _ = serve.build_model_runner(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="float32", batch_size=4)
+    sharded, _ = serve.build_model_runner(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="float32", batch_size=4,
+        mesh=mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4]))
+    np.testing.assert_array_equal(single(images), sharded(images))
+
+
+def test_dp_serving_rejects_indivisible_batch():
+    from maskunet_tpu.parallel import mesh as mesh_lib
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=3)
+    with pytest.raises(ValueError, match="must divide"):
+        serve.build_inference_fn(
+            rec, 8, "/tmp/nonexistent_workdir", "best",
+            compute_dtype="float32", batch_size=3,
+            mesh=mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4]))
 
 
 def test_batcher_survives_malformed_request():
