@@ -121,6 +121,10 @@ def main(argv=None) -> int:
     pp.add_argument("--num-classes", type=int, default=None,
                     help="override when no dataset root is given")
     pp.add_argument("--panels", action="store_true")
+    pp.add_argument("--instances", action="store_true",
+                    help="also decode and write instance-id maps "
+                         "(DBSCAN over embeddings for 3-head models, "
+                         "per-class connected components otherwise)")
 
     ip = sub.add_parser(
         "import-torch",
@@ -322,7 +326,7 @@ def main(argv=None) -> int:
         written = predict_lib.predict_directory(
             recipe, ts, args.images, args.out, num_classes=num_classes,
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
-            save_panels=args.panels)
+            save_panels=args.panels, save_instances=args.instances)
         print(json.dumps({"written": len(written), "out": args.out}))
         return 0
 

@@ -42,10 +42,32 @@ class _DirectoryDataset:
                 "label": np.zeros((self.img_size, self.img_size), np.int32)}
 
 
+def _decode_instances(pred, prob, embeddings):
+    """Instance masks for one image: DBSCAN over the 16-d embeddings when
+    the model has the embedding head (city_instance.py:405-429 pathway),
+    per-class connected components otherwise (ade_instance.py:367-397).
+    Returns (instance-id map uint16, COCO-style records)."""
+    from maskunet_tpu.evaluation import clustering, instances
+    from maskunet_tpu.evaluation import rle as rle_lib
+
+    if embeddings is not None:
+        masks = clustering.instances_from_embeddings(pred, embeddings)
+        records = clustering.annotate_instances(masks, pred)
+    else:
+        records = instances.get_instances_from_mask(pred, prob)
+    # id map ids == 1-based positions in `records` (annotate_instances
+    # may filter masks, so rebuild from the records' RLEs)
+    id_map = np.zeros(pred.shape, np.uint16)
+    for k, r in enumerate(records, 1):
+        id_map[rle_lib.decode(r["segmentation"]).astype(bool)] = k
+    return id_map, records
+
+
 def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                       num_classes: int, attn_impl: str = "auto",
                       compute_dtype: str = "float32",
-                      save_panels: bool = False) -> list[str]:
+                      save_panels: bool = False,
+                      save_instances: bool = False) -> list[str]:
     """Returns the list of written mask paths."""
     import cv2
     import jax
@@ -58,11 +80,15 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                                      drop_last=False, pad_last=True)
     os.makedirs(out_dir, exist_ok=True)
     written: list[str] = []
+    instance_records: dict[str, list] = {}
     file_iter = iter(ds.files)
     for batch in batches.epoch(0):
         valid = batch.pop("valid")
         result = eval_step(ts, pipeline.to_device(batch))
         preds = np.asarray(result["pred"]).astype(np.uint8)
+        probs = np.asarray(result["prob"]) if save_instances else None
+        embs = (np.asarray(result["embeddings"])
+                if save_instances and "embeddings" in result else None)
         for i in range(preds.shape[0]):
             if not valid[i]:
                 continue
@@ -71,6 +97,15 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
             mask_path = os.path.join(out_dir, base + "_mask.png")
             cv2.imwrite(mask_path, preds[i])
             written.append(mask_path)
+            if save_instances:
+                id_map, recs = _decode_instances(
+                    preds[i], probs[i],
+                    embs[i] if embs is not None else None)
+                cv2.imwrite(os.path.join(out_dir,
+                                         base + "_instances.png"), id_map)
+                for r in recs:
+                    r.pop("segmentation", None)   # manifest stays small
+                instance_records[name] = recs
             if save_panels:
                 from maskunet_tpu.utils import visualize
                 visualize.save_prediction(
@@ -78,6 +113,9 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                     os.path.join(out_dir, base + "_panel.png"))
     manifest = os.path.join(out_dir, "predictions.json")
     with open(manifest, "w") as f:
-        json.dump({"files": written, "num_classes": num_classes,
-                   "img_size": recipe.img_size}, f)
+        payload = {"files": written, "num_classes": num_classes,
+                   "img_size": recipe.img_size}
+        if save_instances:
+            payload["instances"] = instance_records
+        json.dump(payload, f)
     return written
