@@ -250,7 +250,7 @@ def main(argv=None) -> int:
                 max_queries=(tuple(args.max_queries)
                              if args.max_queries else None),
                 max_batches=args.max_batches, attn_impl=args.attn_impl,
-                split=args.split)
+                compute_dtype=args.compute_dtype, split=args.split)
             print(json.dumps({"recipe": recipe.name,
                               "instances": {str(k): v for k, v in
                                             results.items()}}))
@@ -259,6 +259,7 @@ def main(argv=None) -> int:
             out = evaluators.evaluate_panoptic(
                 recipe, args.data_root, ts,
                 max_batches=args.max_batches, attn_impl=args.attn_impl,
+                compute_dtype=args.compute_dtype,
                 export_dir=args.export_dir)
             print(json.dumps({"recipe": recipe.name, **out}))
         return 0

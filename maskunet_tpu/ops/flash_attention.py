@@ -227,8 +227,9 @@ def _flash_fwd(q, k, v, bias, scale, use_valid=True, *,
                need_lse: bool = True):
     """`need_lse=False` is the primal/inference path (no lse output).
     With `need_lse=True` (the custom-vjp fwd rule) the default is still
-    the fast no-max kernel, now emitting lse = log2(l); the online-max
-    kernel remains available via MASKUNET_SAFE_SOFTMAX=1."""
+    the fast no-max kernel, now emitting lse = log2(l).
+    MASKUNET_SAFE_SOFTMAX=1 switches BOTH paths (inference included) to
+    the online-max kernel."""
     b, lq, c = q.shape
     lk = k.shape[1]
     bq, bk = _block_sizes(lq, lk, q.dtype)
@@ -241,7 +242,7 @@ def _flash_fwd(q, k, v, bias, scale, use_valid=True, *,
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
         vmem_limit_bytes=_VMEM_LIMIT)
-    if not need_lse:
+    if not need_lse and not _SAFE_SOFTMAX:
         out = pl.pallas_call(
             functools.partial(_fwd_kernel_nomax, scale=scale, nk=nk,
                               use_valid=use_valid),
@@ -257,6 +258,10 @@ def _flash_fwd(q, k, v, bias, scale, use_valid=True, *,
             interpret=_interpret_mode(),
         )(q, k, v, bias)
         return out, None
+    # MASKUNET_SAFE_SOFTMAX=1 swaps the PRIMAL/inference kernel too (not
+    # just the vjp fwd rule) — otherwise the knob could not A/B suspected
+    # clamp saturation in eval/serving outputs; the online-max kernel
+    # below runs and its lse is simply unused when need_lse=False.
     if not _SAFE_SOFTMAX:
         out, lse = pl.pallas_call(
             functools.partial(_fwd_kernel_nomax, scale=scale, nk=nk,

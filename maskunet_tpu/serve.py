@@ -318,6 +318,16 @@ def main(argv=None) -> int:
     compile_cache.enable()
 
     if args.artifact:
+        # artifacts are frozen per-chip computations: mesh/quantize/batch
+        # choices were baked at export time — fail loud instead of
+        # silently serving something other than what the flags ask for
+        for flag, name in ((args.n_data, "--n-data"),
+                           (args.quantize, "--quantize"),
+                           (args.batch_size, "--batch-size"),
+                           (args.num_classes, "--num-classes")):
+            if flag is not None:
+                ap.error(f"{name} cannot be combined with --artifact "
+                         "(it was fixed at export time)")
         from maskunet_tpu import export as export_lib
         runner, meta = export_lib.load_serving_artifact(args.artifact)
         num_classes = meta["num_classes"]

@@ -49,7 +49,7 @@ def _image_id(ds, idx: int) -> int:
 
 def _iter_eval(recipe: Recipe, ds, num_classes: int, ts, *,
                attn_impl: str = "auto", max_batches: int | None = None,
-               mesh=None):
+               mesh=None, compute_dtype: str = "float32"):
     """Yields (dataset_indices, image_ids, host dict with pred/prob/
     label[/instance/embeddings]) per batch. Rows beyond the dataset end
     (pad_last) are excluded via host['valid'].
@@ -59,7 +59,8 @@ def _iter_eval(recipe: Recipe, ds, num_classes: int, ts, *,
     evaluation after an `--n-data N` run would fall back to one device.
     The jitted step comes from `step_lib.cached_eval_step`, so repeated
     evaluation (e.g. every `eval_every` epochs) never retraces."""
-    cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl)
+    cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
+                                compute_dtype=compute_dtype)
     eval_step = step_lib.cached_eval_step(cfg, recipe.task_config, mesh)
     sharding = None
     if mesh is not None:
@@ -144,6 +145,7 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
                        use_embeddings: bool | None = None,
                        max_batches: int | None = None,
                        attn_impl: str = "auto",
+                       compute_dtype: str = "float32",
                        split: str = "val",
                        mesh=None,
                        dataset: tuple | None = None,
@@ -184,7 +186,8 @@ def evaluate_instances(recipe: Recipe, data_root: str | None, ts, *,
     dts: list[dict] = []
     for indices, ids, host in _iter_eval(
             recipe, ds, num_classes, ts, attn_impl=attn_impl,
-            max_batches=max_batches, mesh=mesh):
+            max_batches=max_batches, mesh=mesh,
+            compute_dtype=compute_dtype):
         for b in range(host["pred"].shape[0]):
             if not host["valid"][b]:
                 continue
@@ -226,6 +229,7 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
                       things: set[int] | None = None,
                       max_batches: int | None = None,
                       attn_impl: str = "auto",
+                      compute_dtype: str = "float32",
                       export_dir: str | None = None,
                       mesh=None,
                       dataset: tuple | None = None) -> dict:
@@ -278,7 +282,8 @@ def evaluate_panoptic(recipe: Recipe, data_root: str | None, ts, *,
     with concurrent.futures.ThreadPoolExecutor(4) as pool:
         for _, ids, host in _iter_eval(
                 recipe, ds, num_classes, ts, attn_impl=attn_impl,
-                max_batches=max_batches, mesh=mesh):
+                max_batches=max_batches, mesh=mesh,
+                compute_dtype=compute_dtype):
             gt_inst = host.get("instance")
             for b in range(host["pred"].shape[0]):
                 if not host["valid"][b]:

@@ -70,11 +70,10 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                       save_instances: bool = False) -> list[str]:
     """Returns the list of written mask paths."""
     import cv2
-    import jax
 
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
                                 compute_dtype=compute_dtype)
-    eval_step = jax.jit(step_lib.make_eval_step(cfg, recipe.task_config))
+    eval_step = step_lib.cached_eval_step(cfg, recipe.task_config, None)
     ds = _DirectoryDataset(images_dir, recipe.img_size)
     batches = pipeline.BatchIterator(ds, recipe.batch_size, shuffle=False,
                                      drop_last=False, pad_last=True)

@@ -239,8 +239,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 from maskunet_tpu.tasks import evaluators
                 pan = evaluators.evaluate_panoptic(
                     recipe, data_root, ts, max_batches=eval_max_batches,
-                    attn_impl=attn_impl, mesh=mesh,
-                    dataset=(val_ds, num_classes))
+                    attn_impl=attn_impl, compute_dtype=compute_dtype,
+                    mesh=mesh, dataset=(val_ds, num_classes))
                 record["val_pq"] = pan["pq"]["All"]["pq"]
                 record["val_ap"] = pan["ap"]["AP"]
             elif recipe.task == "instance":
@@ -249,6 +249,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 inst = evaluators.evaluate_instances(
                     recipe, data_root, ts, max_queries=(q,),
                     max_batches=eval_max_batches, attn_impl=attn_impl,
+                    compute_dtype=compute_dtype,
                     mesh=mesh, dataset=(val_ds, num_classes))
                 record["val_ap"] = inst[q]["AP"]
         history.append(record)

@@ -200,3 +200,9 @@ def test_safe_softmax_fallback_matches_dense(monkeypatch):
     gf = jax.grad(loss(flash_attention.masked_attention_flash))(tokens)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
                                atol=2e-4)
+    # the knob must swap the PRIMAL/inference kernel too (need_lse=False
+    # otherwise never reaches the online-max path): forward-only output
+    # still matches dense under the safe kernel
+    of = flash_attention.masked_attention_flash(params, tokens, mask)
+    od = attention.masked_attention_dense(params, tokens, mask)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(od), atol=2e-4)

@@ -116,6 +116,26 @@ def test_quantized_runner_and_artifact(tmp_path):
     assert agree > 0.95, agree
 
 
+def test_int8_batch_composition_invariance():
+    """Per-SAMPLE activation scales: an image's quantized prediction must
+    not depend on what it was co-batched with (the serving stack's
+    batch-composition invariance; a whole-batch max scale would break it)."""
+    from maskunet_tpu import serve
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=2)
+    runner, _ = serve.build_model_runner(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="float32", batch_size=2, quantize="int8")
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    bright = np.full((32, 32, 3), 255, np.uint8)
+    dark = np.zeros((32, 32, 3), np.uint8)
+    a = runner(np.stack([img, bright]))[0]
+    b = runner(np.stack([img, dark]))[0]
+    np.testing.assert_array_equal(a, b)
+
+
 def test_unknown_quantize_mode_raises():
     from maskunet_tpu import serve
     rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),

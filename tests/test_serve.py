@@ -133,6 +133,16 @@ def test_dp_serving_rejects_indivisible_batch():
             mesh=mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4]))
 
 
+def test_artifact_rejects_baked_in_flags():
+    """--artifact serves a frozen computation; flags that were fixed at
+    export time (--quantize/--n-data/--batch-size/--num-classes) must
+    fail loud instead of being silently ignored."""
+    for extra in (["--quantize", "int8"], ["--n-data", "4"],
+                  ["--batch-size", "2"], ["--num-classes", "8"]):
+        with pytest.raises(SystemExit):
+            serve.main(["--artifact", "/nonexistent", *extra])
+
+
 def test_batcher_survives_malformed_request():
     """A bad payload shape fails its batch; the worker thread stays
     alive and later requests still succeed (ADVICE r1)."""

@@ -64,10 +64,16 @@ def main() -> None:
     for bq, bk, pbf16 in configs:
         fa._BQ_BWD, fa._BK_BWD = bq, bk
         fa._BWD_PARTIALS_BF16 = pbf16
+        # label the blocks _block_sizes actually resolves: the compacted
+        # key lengths (9216/2304) are not divisible by 2048, so a
+        # requested BK=2048 would silently clamp — keep labels honest
+        e16 = fa._block_sizes(16384, fa._key_capacity(16384),
+                              jnp.bfloat16, bwd=True)
         try:
             t16 = timed_grad(16384, 64)
             t4 = timed_grad(4096, 64)
-            print(f"BQ={bq:5d} BK={bk:5d} pbf16={int(pbf16)}: "
+            print(f"BQ={bq:5d} BK={bk:5d} pbf16={int(pbf16)} "
+                  f"(attn6 effective {e16[0]}/{e16[1]}): "
                   f"attn6 {t16 * 1e3:7.3f} ms  attn1/5 {t4 * 1e3:6.3f} ms",
                   flush=True)
         except Exception as e:  # noqa: BLE001

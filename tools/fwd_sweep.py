@@ -52,17 +52,29 @@ def main() -> None:
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     tokens = jax.random.normal(jax.random.key(1), (batch, l, c), dtype)
     mask = attention.random_key_mask(jax.random.key(2), batch, l)
+    seen = set()
     for bq, bk in [(4096, 1024), (2048, 1024), (8192, 1024),
                    (4096, 2048), (2048, 2048), (4096, 512)]:
         fa._BQ_DEFAULT, fa._BK_DEFAULT = bq, bk
+        # report the blocks _block_sizes actually resolves (the compacted
+        # key length lk=9216 is not divisible by 2048, so a requested
+        # BK=2048 silently falls back to 1024 — label the real config,
+        # and skip configs that duplicate one already timed)
+        ebq, ebk = fa._block_sizes(l, fa._key_capacity(l), dtype)
+        label = (f"fwd BQ={bq:5d} BK={bk:5d} "
+                 f"(effective {ebq}/{ebk})")
+        if (ebq, ebk) in seen:
+            print(f"{label}: skipped (duplicate of an effective config)",
+                  flush=True)
+            continue
+        seen.add((ebq, ebk))
         try:
             f = jax.jit(lambda t: fa.masked_attention_flash(
                 params, t, mask))
             t_ms = timeit(f, tokens) * 1e3
-            print(f"fwd BQ={bq:5d} BK={bk:5d}: {t_ms:7.3f} ms", flush=True)
+            print(f"{label}: {t_ms:7.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"fwd BQ={bq:5d} BK={bk:5d}: FAILED {type(e).__name__}",
-                  flush=True)
+            print(f"{label}: FAILED {type(e).__name__}", flush=True)
     fa._BQ_DEFAULT, fa._BK_DEFAULT = 4096, 1024
 
     # ---- compaction cost: full compact_keys vs gather-from-plan

@@ -139,9 +139,19 @@ def main() -> None:
     if args.only and os.path.exists(args.out):
         with open(args.out) as f:
             summary = json.load(f)
+        # replace existing rows in place AND append fresh rows the file
+        # didn't have yet (a pure replace would silently drop them);
+        # stamp the run settings per merged row since the file-level
+        # epochs/n/lr describe the original full run, not this merge
         fresh = {r["recipe"]: r for r in rows}
-        summary["rows"] = [fresh.get(r["recipe"], r)
-                           for r in summary["rows"]]
+        for r in rows:
+            r["merge_epochs"] = args.epochs
+            r["merge_n_train_images"] = args.n
+        existing = {r["recipe"] for r in summary["rows"]}
+        summary["rows"] = ([fresh.pop(r["recipe"], r)
+                            for r in summary["rows"]]
+                           + [fresh[n] for n in fresh
+                              if n not in existing])
     else:
         summary = {"epochs": args.epochs, "n_train_images": args.n,
                    "lr_override": args.lr,
@@ -155,8 +165,8 @@ def main() -> None:
     zeroed = [r["recipe"] for r in rows
               if ("pq" in r and r["pq"] <= 0.0)
               or ("ap" in r and r["ap"] <= 0.0)]
-    print(f"\n{len(rows) - len(failed)}/9 recipes OK; failures: {failed}; "
-          f"zero-metric rows: {zeroed}")
+    print(f"\n{len(rows) - len(failed)}/{len(rows)} recipes OK; "
+          f"failures: {failed}; zero-metric rows: {zeroed}")
     if failed or (args.require_nonzero and zeroed):
         raise SystemExit(1)
 

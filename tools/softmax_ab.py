@@ -154,10 +154,6 @@ def main() -> None:
               f" ({best['old'] / t:.3f}x vs old)")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _nomax65_kernel(q_ref, k_ref, v_ref, o_ref, acc_sc, l_sc, *, nk: int,
                     clamp: bool = True):
     """Variant D: bias rides the matmul as channel 65 (q's 65th channel
@@ -250,3 +246,14 @@ def main2() -> None:
         best["noclampE"] = min(best["noclampE"], timeit(f_e, q65, k65, v))
     for name, t in best.items():
         print(f"{name:9s} {t * 1e3:7.3f} ms ({best['nomaxC'] / t:.3f}x vs C)")
+
+
+if __name__ == "__main__":
+    # `python tools/softmax_ab.py`   -> A/B/C (old vs exp2 vs no-max)
+    # `python tools/softmax_ab.py 2` -> D/E (bias-as-65th-channel, no-clamp)
+    #   — the variants behind PERF.md's 0.998x/0.997x dead-end entries
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "2":
+        main2()
+    else:
+        main()
