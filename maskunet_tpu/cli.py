@@ -125,6 +125,9 @@ def main(argv=None) -> int:
                     help="also decode and write instance-id maps "
                          "(DBSCAN over embeddings for 3-head models, "
                          "per-class connected components otherwise)")
+    pp.add_argument("--panoptic", action="store_true",
+                    help="also write panopticapi-layout panoptic "
+                         "predictions (id2rgb PNGs + segments json)")
 
     ip = sub.add_parser(
         "import-torch",
@@ -327,7 +330,8 @@ def main(argv=None) -> int:
         written = predict_lib.predict_directory(
             recipe, ts, args.images, args.out, num_classes=num_classes,
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
-            save_panels=args.panels, save_instances=args.instances)
+            save_panels=args.panels, save_instances=args.instances,
+            save_panoptic=args.panoptic)
         print(json.dumps({"written": len(written), "out": args.out}))
         return 0
 

@@ -67,7 +67,8 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                       num_classes: int, attn_impl: str = "auto",
                       compute_dtype: str = "float32",
                       save_panels: bool = False,
-                      save_instances: bool = False) -> list[str]:
+                      save_instances: bool = False,
+                      save_panoptic: bool = False) -> list[str]:
     """Returns the list of written mask paths."""
     import cv2
 
@@ -80,6 +81,7 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     written: list[str] = []
     instance_records: dict[str, list] = {}
+    panoptic_preds: list[tuple] = []
     file_iter = iter(ds.files)
     for batch in batches.epoch(0):
         valid = batch.pop("valid")
@@ -105,11 +107,24 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                 for r in recs:
                     r.pop("segmentation", None)   # manifest stays small
                 instance_records[name] = recs
+            if save_panoptic:
+                # panoptic fusion (stuff: per class; things: connected
+                # components — without a dataset every class is a thing,
+                # matching the per-class CC instance synthesis)
+                from maskunet_tpu.evaluation import panoptic
+                pan, segs = panoptic.semantic_to_panoptic(preds[i])
+                panoptic_preds.append((len(written) - 1, pan, segs))
             if save_panels:
                 from maskunet_tpu.utils import visualize
                 visualize.save_prediction(
                     batch["image"][i], np.zeros_like(preds[i]), preds[i],
                     os.path.join(out_dir, base + "_panel.png"))
+    if save_panoptic:
+        # panopticapi layout: per-image id2rgb PNG + segments json
+        # (image ids are indices into the manifest's `files` list)
+        from maskunet_tpu.evaluation import panoptic
+        panoptic.save_panoptic_predictions(
+            panoptic_preds, os.path.join(out_dir, "panoptic"))
     manifest = os.path.join(out_dir, "predictions.json")
     with open(manifest, "w") as f:
         payload = {"files": written, "num_classes": num_classes,

@@ -61,6 +61,24 @@ def test_predict_semantic_and_cc_instances(tmp_path):
             assert "segmentation" not in r   # manifest stays small
 
 
+def test_predict_panoptic_export(tmp_path):
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=2)
+    ts = _fresh_state(rec, 8)
+    out = str(tmp_path / "out")
+    written = predict_lib.predict_directory(
+        rec, ts, _image_dir(tmp_path), out, num_classes=8,
+        save_panoptic=True)
+    pan_dir = os.path.join(out, "panoptic")
+    pngs = [f for f in os.listdir(pan_dir) if f.endswith(".png")]
+    assert len(pngs) == len(written) == 3
+    meta = json.load(open(os.path.join(pan_dir, "predictions.json")))
+    anns = meta["annotations"] if isinstance(meta, dict) else meta
+    assert len(anns) == 3
+    for a in anns:
+        assert a["segments_info"]   # real segments, not empty lists
+
+
 def test_predict_embedding_instances(tmp_path):
     # 3-head model: instances come from DBSCAN over the embedding head
     rec = dataclasses.replace(recipes_lib.get("city_instance"),
