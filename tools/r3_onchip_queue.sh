@@ -1,0 +1,27 @@
+#!/bin/bash
+# Pending on-chip measurements, queued while the axon tunnel was down
+# (2026-08-17 ~3h outage: even a trivial matmul hung at backend init).
+# Run when the chip answers again; each step is independently bounded so
+# one flaky phase doesn't lose the rest. Results land in /tmp/r3q/.
+set -x
+mkdir -p /tmp/r3q
+cd /root/repo
+
+# 0. liveness gate
+timeout 120 python -c "
+import jax, jax.numpy as jnp
+print((jnp.ones((256,256))@jnp.ones((256,256))).sum(), jax.devices())
+" || { echo TUNNEL_STILL_DOWN; exit 1; }
+
+# 1. bench sanity (inference + training headline numbers)
+timeout 1200 python bench.py | tee /tmp/r3q/bench.json
+
+# 2. int8 quantized inference A/B (new serving feature: is int8 a win
+#    on the MXU once the dynamic-quant reduce + dequant are paid?)
+timeout 1800 python tools/quant_ab.py 8 | tee /tmp/r3q/quant_ab.txt
+
+# 3. conv im2col-vs-direct in-model A/B (in flight when the tunnel died)
+timeout 2400 python tools/conv_model_ab.py | tee /tmp/r3q/conv_model_ab.txt
+
+# 4. kernel parity on real hardware (regression gate after any kernel use)
+timeout 1800 python tools/tpu_kernel_paritycheck.py | tee /tmp/r3q/parity.txt
