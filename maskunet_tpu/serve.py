@@ -301,6 +301,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--predict-timeout-s", type=float, default=300.0,
                     help="per-request wall clock before a 503")
+    ap.add_argument("--drain-timeout-s", type=float, default=10.0,
+                    help="max seconds to drain in-flight batches on "
+                         "SIGTERM/SIGINT before exiting")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--quantize", default=None, choices=["int8"],
@@ -370,10 +373,30 @@ def main(argv=None) -> int:
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
         make_handler(batcher, img_size, num_classes))
+
+    # graceful shutdown: SIGTERM/SIGINT stop accepting connections, then
+    # the in-flight batch queue drains (bounded) before exit — a fleet
+    # scheduler rotating serving tasks must not drop accepted requests
+    import signal
+
+    def _term(signum, frame):
+        print(json.dumps({"shutdown": signal.Signals(signum).name}),
+              flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
+
     print(json.dumps({"serving": served, "port": args.port,
                       "batch_size": batch, "img_size": img_size}),
           flush=True)
     server.serve_forever()
+    deadline = time.monotonic() + args.drain_timeout_s
+    while not batcher._q.empty() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    server.server_close()
+    print(json.dumps({"stopped": served,
+                      "drained": batcher._q.empty()}), flush=True)
     return 0
 
 

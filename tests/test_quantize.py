@@ -136,6 +136,29 @@ def test_int8_batch_composition_invariance():
     np.testing.assert_array_equal(a, b)
 
 
+def test_int8_composes_with_bf16_cast():
+    """The production TPU combo is quantize=int8 + compute_dtype=bfloat16
+    (cast_params_for_inference runs after quantization): int8 kernels and
+    f32 w_scales must survive the cast untouched, bf16 biases must feed
+    the f32 dequant cleanly."""
+    import jax.numpy as jnp
+
+    from maskunet_tpu import serve
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=2)
+    forward, params, masks, cfg = serve.build_inference_fn(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="bfloat16", batch_size=2, quantize="int8")
+    conv = params["initial"]["conv1"]
+    assert conv["kernel_q"].dtype == jnp.int8
+    assert conv["w_scale"].dtype == jnp.float32
+    assert conv["bias"].dtype == jnp.bfloat16
+    out = np.asarray(forward(params, masks,
+                             np.zeros((2, 32, 32, 3), np.uint8)))
+    assert out.shape == (2, 32, 32) and out.max() < 8
+
+
 def test_unknown_quantize_mode_raises():
     from maskunet_tpu import serve
     rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),

@@ -133,6 +133,36 @@ def test_dp_serving_rejects_indivisible_batch():
             mesh=mesh_lib.make_mesh(n_data=4, devices=jax.devices()[:4]))
 
 
+@pytest.mark.slow
+def test_graceful_shutdown_on_sigterm():
+    """SIGTERM must stop the server cleanly (exit 0, drained log line) —
+    fleet schedulers rotate serving tasks with SIGTERM and accepted
+    requests must not be dropped on the floor."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "maskunet_tpu.serve",
+         "--recipe", "synthetic_semantic", "--num-classes", "8",
+         "--workdir", "/tmp/nonexistent_workdir", "--port", "0",
+         "--platform", "cpu", "--compute-dtype", "float32"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()          # blocks until warm
+        assert json.loads(line)["serving"] == "synthetic_semantic"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+        out = proc.stdout.read()
+        assert '"shutdown": "SIGTERM"' in out
+        assert '"drained": true' in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_artifact_rejects_baked_in_flags():
     """--artifact serves a frozen computation; flags that were fixed at
     export time (--quantize/--n-data/--batch-size/--num-classes) must
