@@ -60,13 +60,20 @@ def conv2d(params: Params, x: jax.Array, *, stride: int = 1,
     by ``act_scale * w_scale[cout]``. Serving-only — `round` has no
     gradient."""
     if "kernel_q" in params:
-        # per-SAMPLE activation scale (not per-batch): a whole-batch max
-        # would make each image's quantization grid — and therefore its
-        # prediction — depend on what it was co-batched with, breaking
-        # the serving stack's batch-composition invariance
         xf = x.astype(jnp.float32)
-        a = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
-        a = jnp.maximum(a, 1e-12)
+        if "a_scale" in params:
+            # static calibrated scale (quantize_params_for_inference
+            # act_scales): no per-call max-reduce / fusion barrier;
+            # out-of-calibration activations saturate at the clip
+            a = params["a_scale"]
+        else:
+            # dynamic, per-SAMPLE (not per-batch): a whole-batch max
+            # would make each image's quantization grid — and therefore
+            # its prediction — depend on what it was co-batched with,
+            # breaking the serving stack's batch-composition invariance
+            a = (jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+                 / 127.0)
+            a = jnp.maximum(a, 1e-12)
         xq = jnp.clip(jnp.round(xf / a), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq, params["kernel_q"],

@@ -396,7 +396,57 @@ def fold_bn_for_inference(params: dict, state: dict,
     return out
 
 
-def quantize_params_for_inference(params: dict) -> dict:
+def calibrate_activation_scales(params: dict, forward, batches) -> dict:
+    """Record per-conv input absolute maxima by running the FOLDED float
+    model eagerly over calibration batches.
+
+    `forward(params, x)` must call the model UN-jitted (the recorder
+    wraps `layers.conv2d` for the duration — a traced/jitted call would
+    bypass it after the first trace). Returns ``{"path/to/conv": max}``
+    for every 4-D conv, consumable by
+    `quantize_params_for_inference(act_scales=...)`: static activation
+    scales drop the per-call max-reduce (and its fusion barrier) from the
+    int8 serving path, at the standard PTQ risk that unseen activations
+    beyond the calibrated max saturate at the int8 clip.
+    """
+    from maskunet_tpu.core import layers
+
+    def is_conv(node):
+        return (isinstance(node, dict) and "kernel" in node
+                and getattr(node["kernel"], "ndim", 0) == 4)
+
+    records: dict[int, float] = {}
+    orig = layers.conv2d
+
+    def recording_conv2d(p, x, **kw):
+        if is_conv(p):
+            m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            records[id(p)] = max(records.get(id(p), 0.0), m)
+        return orig(p, x, **kw)
+
+    layers.conv2d = recording_conv2d
+    try:
+        for b in batches:
+            forward(params, b)
+    finally:
+        layers.conv2d = orig
+
+    scales: dict[str, float] = {}
+
+    def walk(node, path):
+        if is_conv(node):
+            if id(node) in records:
+                scales["/".join(path)] = records[id(node)]
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(params, ())
+    return scales
+
+
+def quantize_params_for_inference(params: dict,
+                                  act_scales: dict | None = None) -> dict:
     """Post-training int8 quantization of the folded conv weights.
 
     Per-output-channel symmetric scales: ``w_scale[c] = max|K[...,c]|/127``,
@@ -413,22 +463,30 @@ def quantize_params_for_inference(params: dict) -> dict:
     Targets the TPU MXU. XLA:CPU executes int8 convs on a slow scalar
     path (minutes per 64px batch-8 forward) — fine for the tiny-model
     tests, not for CPU serving.
+
+    `act_scales` (from `calibrate_activation_scales`): static per-conv
+    activation scales baked in as ``a_scale`` — drops the per-call
+    dynamic max-reduce; activations beyond the calibrated max saturate
+    at the int8 clip.
     """
-    def quant(leaf_dict):
+    def quant(leaf_dict, path):
         k = leaf_dict["kernel"].astype(jnp.float32)
         scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)),
                             1e-12) / 127.0
         kq = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
         out = {"kernel_q": kq, "w_scale": scale}
+        if act_scales is not None:
+            out["a_scale"] = jnp.float32(
+                max(act_scales["/".join(path)], 1e-12) / 127.0)
         if "bias" in leaf_dict:
             out["bias"] = leaf_dict["bias"]
         return out
 
-    def walk(node):
+    def walk(node, path=()):
         if isinstance(node, dict):
             if "kernel" in node and node["kernel"].ndim == 4:
-                return quant(node)
-            return {k: walk(v) for k, v in node.items()}
+                return quant(node, path)
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
 
     return walk(params)

@@ -136,6 +136,39 @@ def test_int8_batch_composition_invariance():
     np.testing.assert_array_equal(a, b)
 
 
+def test_calibrated_static_scales(tiny):
+    """PTQ calibration: recorded per-conv activation maxima bake in as
+    static a_scale (no per-call max-reduce), and the statically-quantized
+    model stays close to float on calibration-distribution data."""
+    cfg, folded, q_dyn = tiny
+    masks = mu.make_attention_masks(jax.random.key(2), 2, 32)
+
+    def fwd(p, x):   # eager on purpose: calibration wraps layers.conv2d
+        out, _ = mu.apply(p, None, x, cfg=cfg, masks=masks,
+                          train=False, folded=True)
+        return out.semantic
+
+    batches = [jax.random.uniform(jax.random.key(i), (2, 32, 32, 3))
+               for i in range(3)]
+    scales = mu.calibrate_activation_scales(folded, fwd, batches)
+    n_convs = len(jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map_with_path(
+            lambda p, l: 1 if str(p[-1].key) == "kernel_q" else None,
+            q_dyn)))
+    assert len(scales) == n_convs
+    assert all(v > 0 for v in scales.values())
+    assert "initial/conv1" in scales
+
+    q = mu.quantize_params_for_inference(folded, act_scales=scales)
+    assert float(q["initial"]["conv1"]["a_scale"]) > 0
+    lf = np.asarray(fwd(folded, batches[0]), np.float32)
+    lq = np.asarray(fwd(q, batches[0]), np.float32)
+    rel = np.sqrt(np.mean((lf - lq) ** 2)) / np.sqrt(np.mean(lf ** 2))
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert rel < 0.12, rel
+    assert agree > 0.85, agree
+
+
 def test_int8_composes_with_bf16_cast():
     """The production TPU combo is quantize=int8 + compute_dtype=bfloat16
     (cast_params_for_inference runs after quantization): int8 kernels and

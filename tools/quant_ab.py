@@ -53,6 +53,16 @@ def main() -> None:
     p_int8 = mu.cast_params_for_inference(
         mu.quantize_params_for_inference(folded))
 
+    def fwd_eager(p, t):
+        out, _ = mu.apply(p, None, t, cfg=cfg, masks=masks, train=False,
+                          folded=True)
+        return out.semantic
+
+    # static arm: calibrate on the bench input itself (eager pass)
+    scales = mu.calibrate_activation_scales(folded, fwd_eager, [x])
+    p_stat = mu.cast_params_for_inference(
+        mu.quantize_params_for_inference(folded, act_scales=scales))
+
     @jax.jit
     def fwd(p, x):
         out, _ = mu.apply(p, None, x, cfg=cfg, masks=masks, train=False,
@@ -61,13 +71,18 @@ def main() -> None:
 
     t_bf16 = timeit(fwd, p_bf16, x)
     t_int8 = timeit(fwd, p_int8, x)
+    t_stat = timeit(fwd, p_stat, x)
     a = jnp.argmax(fwd(p_bf16, x), axis=-1)
     b = jnp.argmax(fwd(p_int8, x), axis=-1)
+    c = jnp.argmax(fwd(p_stat, x), axis=-1)
     agree = float(jnp.mean((a == b).astype(jnp.float32)))
+    agree_s = float(jnp.mean((a == c).astype(jnp.float32)))
     print(f"batch={batch} bf16={t_bf16 * 1e3:.2f} ms "
           f"({batch / t_bf16:.1f} img/s)  "
-          f"int8={t_int8 * 1e3:.2f} ms ({batch / t_int8:.1f} img/s)  "
-          f"speedup={t_bf16 / t_int8:.3f}x  argmax_agree={agree:.4f}")
+          f"int8-dyn={t_int8 * 1e3:.2f} ms ({batch / t_int8:.1f} img/s, "
+          f"{t_bf16 / t_int8:.3f}x, agree={agree:.4f})  "
+          f"int8-static={t_stat * 1e3:.2f} ms ({batch / t_stat:.1f} img/s, "
+          f"{t_bf16 / t_stat:.3f}x, agree={agree_s:.4f})")
 
 
 if __name__ == "__main__":
