@@ -155,6 +155,9 @@ def main(argv=None) -> int:
     xp.add_argument("--quantize", default=None, choices=["int8"],
                     help="bake int8 conv weights (4x smaller artifact, "
                          "double MXU rate; not bit-parity with bf16)")
+    xp.add_argument("--calibrate-images", default=None,
+                    help="with --quantize int8: sample-image dir for "
+                         "static PTQ activation scales")
 
     args = parser.parse_args(argv)
 
@@ -348,7 +351,8 @@ def main(argv=None) -> int:
             recipe, num_classes, args.workdir, args.tag, args.out,
             attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
             batch_size=args.batch_size, platforms=platforms,
-            quantize=args.quantize)
+            quantize=args.quantize,
+            calibrate_images=args.calibrate_images)
         import os
         print(json.dumps({"exported": out,
                           "bytes": os.path.getsize(

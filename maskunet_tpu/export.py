@@ -37,7 +37,8 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
                             compute_dtype: str = "bfloat16",
                             batch_size: int | None = None,
                             platforms=None,
-                            quantize: str | None = None) -> str:
+                            quantize: str | None = None,
+                            calibrate_images: str | None = None) -> str:
     """Export the folded serving forward for `recipe` to `out_dir`.
 
     `platforms`: optional sequence like ("tpu", "cpu") to lower for
@@ -52,7 +53,7 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
     forward, infer_params, masks, cfg = serve.build_inference_fn(
         recipe, num_classes, workdir, tag, attn_impl=attn_impl,
         compute_dtype=compute_dtype, batch_size=batch_size,
-        quantize=quantize)
+        quantize=quantize, calibrate_images=calibrate_images)
     batch = batch_size or recipe.batch_size
 
     # close over weights + serving masks: they become constants in the
@@ -83,6 +84,7 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
         "batch_size": batch,
         "compute_dtype": compute_dtype,
         "quantize": quantize,
+        "calibrated": bool(calibrate_images),
         "attn_impl": cfg.resolve_attn_impl(),
         "platforms": list(exported.platforms),
         "input_shape": [batch, cfg.img_size, cfg.img_size, 3],
@@ -131,6 +133,9 @@ def main(argv=None) -> int:
                     choices=["auto", "dense", "flash"])
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--quantize", default=None, choices=["int8"])
+    ap.add_argument("--calibrate-images", default=None,
+                    help="with --quantize int8: sample-image dir for "
+                         "static PTQ activation scales")
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering targets, e.g. tpu,cpu")
     ap.add_argument("--platform", default=None,
@@ -147,7 +152,7 @@ def main(argv=None) -> int:
         recipe, args.num_classes, args.workdir, args.tag, args.out,
         attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
         batch_size=args.batch_size, platforms=platforms,
-        quantize=args.quantize)
+        quantize=args.quantize, calibrate_images=args.calibrate_images)
     with open(os.path.join(out, META_NAME)) as f:
         print(f.read())
     return 0

@@ -122,6 +122,7 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
                        compute_dtype: str = "bfloat16",
                        batch_size: int | None = None,
                        quantize: str | None = None,
+                       calibrate_images: str | None = None,
                        mesh=None):
     """Builds the folded serving forward and its operands.
 
@@ -174,9 +175,35 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
     if quantize == "int8":
         # optional deployment trade: int8 convs (double MXU rate, 4x
         # smaller conv constants); error bound test-locked, not bit-parity
-        infer_params = mu.quantize_params_for_inference(infer_params)
+        act_scales = None
+        if calibrate_images:
+            # PTQ calibration over sample images: static per-conv
+            # activation scales (no per-call max-reduce)
+            from maskunet_tpu.tasks.predict import _DirectoryDataset
+            cal_ds = _DirectoryDataset(calibrate_images, cfg.img_size)
+            imgs = np.stack([cal_ds[i]["image"]
+                             for i in range(min(len(cal_ds), 4 * batch))])
+
+            def fwd_eager(p, chunk):   # eager: calibration wraps conv2d
+                mu.apply(p, None,
+                         jnp.asarray(chunk, jnp.float32) / 255.0,
+                         cfg=cfg, masks=ts.masks, train=False,
+                         folded=True)
+
+            chunks = [imgs[i:i + batch] for i in range(0, len(imgs), batch)
+                      if len(imgs[i:i + batch]) == batch]
+            if not chunks:
+                raise ValueError(
+                    f"calibration needs >= {batch} images in "
+                    f"{calibrate_images}, found {len(imgs)}")
+            act_scales = mu.calibrate_activation_scales(
+                infer_params, fwd_eager, chunks)
+        infer_params = mu.quantize_params_for_inference(
+            infer_params, act_scales=act_scales)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode {quantize!r}")
+    elif calibrate_images:
+        raise ValueError("--calibrate-images requires --quantize int8")
     if compute_dtype == "bfloat16":
         infer_params = mu.cast_params_for_inference(infer_params)
 
@@ -205,12 +232,13 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
                        compute_dtype: str = "bfloat16",
                        batch_size: int | None = None,
                        quantize: str | None = None,
+                       calibrate_images: str | None = None,
                        mesh=None):
     """Returns (runner(images_uint8 [B,H,W,3]) -> class maps, img_size)."""
     forward, infer_params, masks, cfg = build_inference_fn(
         recipe, num_classes, workdir, tag, attn_impl=attn_impl,
         compute_dtype=compute_dtype, batch_size=batch_size,
-        quantize=quantize, mesh=mesh)
+        quantize=quantize, calibrate_images=calibrate_images, mesh=mesh)
 
     if mesh is None:
         def runner(images: np.ndarray) -> np.ndarray:
@@ -309,6 +337,10 @@ def main(argv=None) -> int:
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="int8-quantize the conv weights (double MXU "
                          "rate; error bound test-locked, not bit-parity)")
+    ap.add_argument("--calibrate-images", default=None,
+                    help="with --quantize int8: directory of sample "
+                         "images for PTQ calibration (static activation "
+                         "scales instead of per-call dynamic ones)")
     ap.add_argument("--n-data", type=int, default=None,
                     help="data-parallel serving mesh size: the batch "
                          "shards over N chips (must divide batch size)")
@@ -326,6 +358,7 @@ def main(argv=None) -> int:
         # silently serving something other than what the flags ask for
         for flag, name in ((args.n_data, "--n-data"),
                            (args.quantize, "--quantize"),
+                           (args.calibrate_images, "--calibrate-images"),
                            (args.batch_size, "--batch-size"),
                            (args.num_classes, "--num-classes")):
             if flag is not None:
@@ -363,7 +396,8 @@ def main(argv=None) -> int:
         runner, img_size = build_model_runner(
             recipe, num_classes, args.workdir, args.tag,
             compute_dtype=args.compute_dtype, batch_size=batch,
-            quantize=args.quantize, mesh=mesh)
+            quantize=args.quantize,
+            calibrate_images=args.calibrate_images, mesh=mesh)
         served = args.recipe
     # warm the compile before accepting traffic
     runner(np.zeros((batch, img_size, img_size, 3), np.uint8))

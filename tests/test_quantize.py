@@ -192,6 +192,37 @@ def test_int8_composes_with_bf16_cast():
     assert out.shape == (2, 32, 32) and out.max() < 8
 
 
+def test_serve_calibrate_images(tmp_path):
+    """serve/export --calibrate-images: static scales from a sample-image
+    directory, through the real serving build path."""
+    import cv2
+
+    from maskunet_tpu import serve
+
+    d = tmp_path / "cal"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(2):
+        cv2.imwrite(str(d / f"c{i}.png"),
+                    rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, batch_size=2)
+    forward, params, masks, cfg = serve.build_inference_fn(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="float32", batch_size=2, quantize="int8",
+        calibrate_images=str(d))
+    assert float(params["initial"]["conv1"]["a_scale"]) > 0
+    out = np.asarray(forward(params, masks,
+                             np.zeros((2, 32, 32, 3), np.uint8)))
+    assert out.shape == (2, 32, 32) and out.max() < 8
+
+    with pytest.raises(ValueError, match="requires --quantize"):
+        serve.build_inference_fn(
+            rec, 8, "/tmp/nonexistent_workdir", "best",
+            compute_dtype="float32", batch_size=2,
+            calibrate_images=str(d))
+
+
 def test_unknown_quantize_mode_raises():
     from maskunet_tpu import serve
     rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
