@@ -431,6 +431,13 @@ def calibrate_activation_scales(params: dict, forward, batches) -> dict:
     finally:
         layers.conv2d = orig
 
+    if not records:
+        raise RuntimeError(
+            "calibration recorded no conv activations — `forward` must "
+            "run the model eagerly (a jitted forward bypasses the "
+            "recorder after its first trace) and must execute at least "
+            "one conv")
+
     scales: dict[str, float] = {}
 
     def walk(node, path):
@@ -476,8 +483,15 @@ def quantize_params_for_inference(params: dict,
         kq = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
         out = {"kernel_q": kq, "w_scale": scale}
         if act_scales is not None:
+            name = "/".join(path)
+            if name not in act_scales:
+                raise ValueError(
+                    f"no calibrated activation scale for conv {name!r} — "
+                    "it was not exercised during calibration (the "
+                    "calibration forward must run every conv the serving "
+                    "config will execute)")
             out["a_scale"] = jnp.float32(
-                max(act_scales["/".join(path)], 1e-12) / 127.0)
+                max(act_scales[name], 1e-12) / 127.0)
         if "bias" in leaf_dict:
             out["bias"] = leaf_dict["bias"]
         return out

@@ -38,10 +38,35 @@ class _Batcher:
         self.predict_timeout_s = predict_timeout_s
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
+        # handler-tracked in-flight count: covers accept -> model run ->
+        # response written, which the queue alone cannot see (a dequeued
+        # batch being computed, or a result not yet sent to the socket)
+        self._inflight = 0
         self.stats = {"requests": 0, "errors": 0, "batches": 0,
                       "batched_images": 0, "shed": 0, "run_ms_ema": 0.0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def track(self):
+        """Context manager marking one request in flight (handler-scoped)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            with self._lock:
+                self._inflight += 1
+            try:
+                yield
+            finally:
+                with self._lock:
+                    self._inflight -= 1
+
+        return _cm()
+
+    def pending(self) -> int:
+        """Requests accepted but not yet fully responded to."""
+        with self._lock:
+            return self._inflight
 
     def metrics(self) -> dict:
         with self._lock:
@@ -181,8 +206,11 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
             # activation scales (no per-call max-reduce)
             from maskunet_tpu.tasks.predict import _DirectoryDataset
             cal_ds = _DirectoryDataset(calibrate_images, cfg.img_size)
+            if len(cal_ds) == 0:
+                raise ValueError(
+                    f"no calibration images found in {calibrate_images}")
             imgs = np.stack([cal_ds[i]["image"]
-                             for i in range(min(len(cal_ds), 4 * batch))])
+                             for i in range(len(cal_ds))])
 
             def fwd_eager(p, chunk):   # eager: calibration wraps conv2d
                 mu.apply(p, None,
@@ -190,12 +218,19 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
                          cfg=cfg, masks=ts.masks, train=False,
                          folded=True)
 
-            chunks = [imgs[i:i + batch] for i in range(0, len(imgs), batch)
-                      if len(imgs[i:i + batch]) == batch]
-            if not chunks:
-                raise ValueError(
-                    f"calibration needs >= {batch} images in "
-                    f"{calibrate_images}, found {len(imgs)}")
+            # every provided image participates; the ragged tail chunk is
+            # padded by repetition (duplicates add no new activation
+            # maxima) because the serving masks are fixed at `batch`
+            chunks = []
+            for i in range(0, len(imgs), batch):
+                c = imgs[i:i + batch]
+                if len(c) < batch:
+                    c = np.concatenate(
+                        [c, np.repeat(c[-1:], batch - len(c), axis=0)])
+                chunks.append(c)
+            print(json.dumps({"calibration_images": len(imgs),
+                              "calibration_batches": len(chunks)}),
+                  flush=True)
             act_scales = mu.calibrate_activation_scales(
                 infer_params, fwd_eager, chunks)
         infer_params = mu.quantize_params_for_inference(
@@ -282,6 +317,10 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int):
             if self.path != "/predict":
                 self.send_error(404)
                 return
+            with batcher.track():
+                self._predict()
+
+        def _predict(self):
             length = int(self.headers.get("Content-Length", 0))
             data = self.rfile.read(length)
             buf = np.frombuffer(data, np.uint8)
@@ -425,12 +464,17 @@ def main(argv=None) -> int:
                       "batch_size": batch, "img_size": img_size}),
           flush=True)
     server.serve_forever()
+    # drain on the handler-tracked in-flight count, not queue emptiness:
+    # the queue goes empty the moment the worker dequeues a batch, while
+    # its requests are still being computed and their responses written
+    # (all serving threads are daemons — exiting early would kill them
+    # mid-response while claiming a clean drain)
     deadline = time.monotonic() + args.drain_timeout_s
-    while not batcher._q.empty() and time.monotonic() < deadline:
+    while batcher.pending() and time.monotonic() < deadline:
         time.sleep(0.05)
     server.server_close()
     print(json.dumps({"stopped": served,
-                      "drained": batcher._q.empty()}), flush=True)
+                      "drained": batcher.pending() == 0}), flush=True)
     return 0
 
 

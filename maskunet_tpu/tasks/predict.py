@@ -72,6 +72,9 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
     """Returns the list of written mask paths."""
     import cv2
 
+    if save_panoptic:
+        from maskunet_tpu.evaluation import panoptic
+
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
                                 compute_dtype=compute_dtype)
     eval_step = step_lib.cached_eval_step(cfg, recipe.task_config, None)
@@ -111,7 +114,6 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
                 # panoptic fusion (stuff: per class; things: connected
                 # components — without a dataset every class is a thing,
                 # matching the per-class CC instance synthesis)
-                from maskunet_tpu.evaluation import panoptic
                 pan, segs = panoptic.semantic_to_panoptic(preds[i])
                 panoptic_preds.append((len(written) - 1, pan, segs))
             if save_panels:
@@ -122,7 +124,6 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
     if save_panoptic:
         # panopticapi layout: per-image id2rgb PNG + segments json
         # (image ids are indices into the manifest's `files` list)
-        from maskunet_tpu.evaluation import panoptic
         panoptic.save_panoptic_predictions(
             panoptic_preds, os.path.join(out_dir, "panoptic"))
     manifest = os.path.join(out_dir, "predictions.json")

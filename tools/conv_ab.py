@@ -122,6 +122,11 @@ def main():
     print(f"\nper-forward conv total: direct {tot_direct * 1e3:.2f} ms, "
           f"best-of {tot_best * 1e3:.2f} ms "
           f"({tot_direct / tot_best:.2f}x if switched per-shape)")
+    print("CAVEAT: isolated per-op timings through the tunnel are "
+          "dispatch-bound (~1.1 ms floor per op) — the ratios above are "
+          "not decision-grade. Use tools/conv_model_ab.py, which swaps "
+          "the formulation inside the whole jitted forward, before "
+          "changing the model's conv path.")
 
 
 if __name__ == "__main__":
