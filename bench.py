@@ -67,10 +67,12 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     if compute_dtype == "bfloat16":
         infer_params = mu.cast_params_for_inference(infer_params)
 
+    mask_plans = mu.precompute_mask_plans(masks)
+
     @jax.jit
     def forward(params, x):
         out, _ = mu.apply(params, None, x, cfg=cfg, masks=masks,
-                          train=False, folded=True)
+                          train=False, folded=True, mask_plans=mask_plans)
         return out.semantic
 
     # a scalar host fetch is the timing fence: block_until_ready through
@@ -89,7 +91,8 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     tx = optax.adamw(5e-5, weight_decay=1e-1)
     ts = state_lib.create(jax.random.key(2), params, mstate, tx, masks=masks)
     train_step = jax.jit(
-        step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx),
+        step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx,
+                                 mask_plans=mask_plans),
         donate_argnums=(0,))
     batch_data = {"image": x, "label": labels}
     ts, m = train_step(ts, batch_data)
@@ -103,8 +106,7 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     return backend, infer_ips, train_ips
 
 
-def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+def _measure_and_print(batch: int) -> None:
     backend, infer_ips, train_ips = bench(batch=batch)
     baseline = estimate_a100_baseline()
     print(f"[bench] backend={backend} batch={batch} "
@@ -121,5 +123,67 @@ def main() -> None:
     }))
 
 
+_PROBE = ("import jax, jax.numpy as jnp; "
+          "x = (jnp.ones((256, 256)) @ jnp.ones((256, 256))).sum(); "
+          "assert float(x) == 256.0 * 256 * 256")
+
+
+def main() -> None:
+    """Probe the accelerator, then measure — each in a bounded subprocess.
+
+    The axon TPU tunnel has multi-hour outages during which *backend
+    init itself hangs* (no exception, no timeout — see tools/
+    tunnel_wait_and_run.sh). A bare in-process bench would block
+    forever and the round would record no number at all, so: probe
+    liveness in a killable child (180 s), run the measurement in a
+    killable child (default 2400 s — first full-model compile is
+    ~100 s), and retry through transient outages. The child writes the
+    one JSON line straight to stdout. Knobs: MASKUNET_BENCH_TRIES
+    (default 6), MASKUNET_BENCH_CHILD_TIMEOUT_S, MASKUNET_BENCH_RETRY_SLEEP_S.
+    """
+    import os
+    import subprocess
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    tries = int(os.environ.get("MASKUNET_BENCH_TRIES", "6"))
+    child_timeout = float(os.environ.get(
+        "MASKUNET_BENCH_CHILD_TIMEOUT_S", "2400"))
+    retry_sleep = float(os.environ.get(
+        "MASKUNET_BENCH_RETRY_SLEEP_S", "300"))
+
+    last_err = "unknown"
+    for attempt in range(1, tries + 1):
+        try:
+            subprocess.run([sys.executable, "-c", _PROBE], timeout=180,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            last_err = "liveness probe hung or failed (tunnel down?)"
+            print(f"[bench] attempt {attempt}/{tries}: {last_err}",
+                  file=sys.stderr)
+            if attempt < tries:
+                time.sleep(retry_sleep)
+            continue
+        try:
+            subprocess.run(
+                [sys.executable, __file__, "--child", str(batch)],
+                timeout=child_timeout, check=True)
+            return
+        except subprocess.TimeoutExpired:
+            last_err = f"measurement child exceeded {child_timeout:.0f}s"
+        except subprocess.CalledProcessError as e:
+            last_err = f"measurement child exited {e.returncode}"
+        print(f"[bench] attempt {attempt}/{tries}: {last_err}",
+              file=sys.stderr)
+        if attempt < tries:
+            time.sleep(retry_sleep)
+    print(f"[bench] FAILED after {tries} attempts: {last_err}",
+          file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure_and_print(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    else:
+        main()

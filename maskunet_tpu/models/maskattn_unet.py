@@ -96,6 +96,30 @@ def make_attention_masks(rng: jax.Array, batch: int,
     )
 
 
+def precompute_mask_plans(masks: tuple[jax.Array, ...] | None
+                          ) -> tuple | None:
+    """Per-layer K/V compaction plans for a run-cached mask pytree.
+
+    The flash path compacts K/V to the visible keys on layers with
+    >= COMPACT_MIN_TOKENS tokens; the slot assignment (cumsum+scatter)
+    depends only on the mask, which is generated once and reused for the
+    whole run ('cached' policy, the reference's semantics). Precomputing
+    it here and passing the result as `apply(..., mask_plans=...)` moves
+    that work out of the per-step graph. Entries for non-compacted layers
+    are None. Derived data: recompute whenever the masks change (e.g.
+    after a checkpoint restore); never checkpoint plans themselves.
+    """
+    from maskunet_tpu.ops import flash_attention as fa
+
+    if masks is None:
+        return None
+    return tuple(
+        fa.plan_compaction(m) if (m is not None
+                                  and m.shape[-1] >= fa.COMPACT_MIN_TOKENS)
+        else None
+        for m in masks)
+
+
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
@@ -230,11 +254,17 @@ def apply(params: dict, state: dict, x: jax.Array, *,
           train: bool = False,
           dropout_rng: jax.Array | None = None,
           mesh=None,
-          folded: bool = False) -> tuple[ModelOutput, dict]:
+          folded: bool = False,
+          mask_plans: tuple | None = None) -> tuple[ModelOutput, dict]:
     """Forward pass. x: [B, H, W, c_in] NHWC. Returns (output, new_state).
 
     `masks`: per-attention-layer boolean key masks (see
     `make_attention_masks`); None disables masking (all keys visible).
+
+    `mask_plans`: `precompute_mask_plans(masks)` when `masks` is cached
+    for the run — skips the per-step compaction slot assignment on the
+    flash path. MUST be derived from this exact `masks` pytree; None
+    recomputes in-graph (required for per-step 'fresh' masks).
 
     `mesh`: optional jax.sharding.Mesh with ('data', 'model') axes. When
     given, activations are annotated batch-over-'data' throughout and the
@@ -266,12 +296,14 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         spec = P("data", None, None, "model" if spec_channels_tp else None)
         return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
+    plans = mask_plans if mask_plans is not None else (None,) * 6
+
     def attn(i, h):
-        fn = lambda p, x_, m: attention.spatial_attention(  # noqa: E731
-            p, x_, m, impl=impl, mesh=mesh)
+        fn = lambda p, x_, m, pl_: attention.spatial_attention(  # noqa: E731
+            p, x_, m, impl=impl, mesh=mesh, plan=pl_)
         if cfg.remat_attention and train:
             fn = jax.checkpoint(fn)
-        return fn(params[f"attn{i}"], h, masks[i - 1])
+        return fn(params[f"attn{i}"], h, masks[i - 1], plans[i - 1])
 
     sget = (lambda k: None) if folded else (lambda k: state[k])
     x1, new_state["initial"] = _convblock(

@@ -88,17 +88,20 @@ def masked_attention_dense(params: dict, tokens: jax.Array,
 
 def spatial_attention(params: dict, x: jax.Array,
                       key_mask: jax.Array | None, *,
-                      impl: str = "dense", mesh=None) -> jax.Array:
+                      impl: str = "dense", mesh=None,
+                      plan=None) -> jax.Array:
     """Apply masked attention to an NHWC feature map (flatten -> attend ->
     unflatten), dispatching to the dense or Pallas implementation.
     `mesh` (flash only): batch-shard the Pallas kernel over the mesh's
-    'data' axis via shard_map."""
+    'data' axis via shard_map. `plan` (flash only): precomputed
+    `flash_attention.plan_compaction(key_mask)` for run-cached masks."""
     b, h, w, c = x.shape
     tokens = x.reshape(b, h * w, c)
     if impl == "flash":
         from maskunet_tpu.ops import flash_attention
         out = flash_attention.masked_attention_flash(params, tokens,
-                                                     key_mask, mesh=mesh)
+                                                     key_mask, mesh=mesh,
+                                                     plan=plan)
     else:
         out = masked_attention_dense(params, tokens, key_mask)
     return out.reshape(b, h, w, c)

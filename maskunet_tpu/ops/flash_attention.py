@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -496,8 +497,50 @@ def _key_capacity(l: int, density: float = 0.5) -> int:
 COMPACT_MIN_TOKENS = 4096
 
 
+class CompactPlan(NamedTuple):
+    """Mask-derived compaction indices, computable once per cached mask.
+
+    The model's key masks are generated ONCE and reused for the whole run
+    (the reference caches its random mask the same way,
+    ade_semantic.py:177-181), but a mask passed as a traced jit argument
+    re-runs the cumsum+scatter slot assignment every step. A CompactPlan
+    is that slot assignment precomputed outside the step graph — the
+    per-step work drops to the two K/V gathers. Derived data: always
+    recompute from the masks actually in use (never checkpointed)."""
+    idx: jax.Array    # [B, cap] int32: source position of each slot
+    valid: jax.Array  # [B, cap] bool: slot < kept-count
+    bad: jax.Array    # [B, 1] bool: overflow/empty rows (NaN-poisoned)
+
+
+def plan_compaction(key_mask: jax.Array, *,
+                    density: float = 0.5) -> CompactPlan:
+    """Slot assignment for `compact_keys`: which source key feeds each
+    compacted slot, which slots are valid, which rows are poisoned.
+
+    Pure function of the mask — jittable (the in-graph fallback for the
+    'fresh' mask policy) and precomputable (the 'cached' policy)."""
+    b, l = key_mask.shape
+    cap = _key_capacity(l, density)
+    # stable partition via cumsum + scatter (argsort is a multi-pass
+    # bitonic network on TPU — this is one cumsum and one scatter)
+    ones = key_mask.astype(jnp.int32)
+    pos = jnp.cumsum(ones, axis=1) - 1            # target slot if kept
+    slot = jnp.where(key_mask, jnp.minimum(pos, cap), cap)  # drop -> bucket
+    src = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None], (b, l))
+    idx = jnp.zeros((b, cap + 1), jnp.int32)
+    idx = idx.at[jnp.arange(b)[:, None], slot].set(src)[:, :cap]
+    total = jnp.sum(ones, axis=1, keepdims=True)
+    # poison overflow (denser mask than declared) AND empty masks (the
+    # compacted kernel path skips explicit masked-key zeroing, which is
+    # only exact when >=1 key is visible) — wrong output must be loud
+    bad = (total > cap) | (total == 0)             # [B, 1]
+    count = jnp.minimum(total, cap)
+    valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < count
+    return CompactPlan(idx=idx, valid=valid, bad=bad)
+
+
 def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array, *,
-                 density: float = 0.5
+                 density: float = 0.5, plan: CompactPlan | None = None
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Gather only the visible keys (the ~50% a Bernoulli(0.5) mask keeps)
     into a fixed-capacity buffer. Masked keys receive exactly zero
@@ -511,28 +554,17 @@ def compact_keys(k: jax.Array, v: jax.Array, key_mask: jax.Array, *,
     capacity (a denser mask than declared), the overflowing rows are
     NaN-poisoned rather than silently truncated — wrong attention output
     must be loud.
+
+    `plan`: precomputed `plan_compaction(key_mask)` for run-cached masks
+    (MUST be derived from this same `key_mask`); None recomputes it
+    in-graph, paying the cumsum+scatter every step.
     """
-    b, l, c = k.shape
-    cap = _key_capacity(l, density)
-    # stable partition via cumsum + scatter (argsort is a multi-pass
-    # bitonic network on TPU — this is one cumsum and one scatter)
-    ones = key_mask.astype(jnp.int32)
-    pos = jnp.cumsum(ones, axis=1) - 1            # target slot if kept
-    slot = jnp.where(key_mask, jnp.minimum(pos, cap), cap)  # drop -> bucket
-    src = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None], (b, l))
-    idx = jnp.zeros((b, cap + 1), jnp.int32)
-    idx = idx.at[jnp.arange(b)[:, None], slot].set(src)[:, :cap]
-    k_c = jnp.take_along_axis(k, idx[..., None], axis=1)
-    v_c = jnp.take_along_axis(v, idx[..., None], axis=1)
-    total = jnp.sum(ones, axis=1, keepdims=True)
-    # poison overflow (denser mask than declared) AND empty masks (the
-    # compacted kernel path skips explicit masked-key zeroing, which is
-    # only exact when >=1 key is visible) — wrong output must be loud
-    bad = (total > cap) | (total == 0)             # [B, 1]
-    k_c = jnp.where(bad[..., None], jnp.nan, k_c)
-    count = jnp.minimum(total, cap)
-    valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < count
-    return k_c, v_c, valid
+    if plan is None:
+        plan = plan_compaction(key_mask, density=density)
+    k_c = jnp.take_along_axis(k, plan.idx[..., None], axis=1)
+    v_c = jnp.take_along_axis(v, plan.idx[..., None], axis=1)
+    k_c = jnp.where(plan.bad[..., None], jnp.nan, k_c)
+    return k_c, v_c, plan.valid
 
 
 def _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis="data",
@@ -558,7 +590,8 @@ def _flash_mha_sharded(q, k, v, bias, scale, mesh, data_axis="data",
 def masked_attention_flash(params: dict, tokens: jax.Array,
                            key_mask: jax.Array | None, *,
                            mask_density: float | None = 0.5,
-                           mesh=None, data_axis: str = "data") -> jax.Array:
+                           mesh=None, data_axis: str = "data",
+                           plan: CompactPlan | None = None) -> jax.Array:
     """Drop-in replacement for `masked_attention_dense` using the Pallas
     kernel: projections and the residual+LayerNorm epilogue stay in XLA
     (fused into neighbors); only the O(L^2) core runs in Pallas. Large
@@ -573,7 +606,11 @@ def masked_attention_flash(params: dict, tokens: jax.Array,
     core then runs under shard_map with the batch partitioned over that
     axis (required for multi-chip DP: GSPMD won't partition pallas_call
     by itself). Projections/epilogue stay plain XLA (GSPMD handles
-    them)."""
+    them).
+
+    `plan`: precomputed `plan_compaction(key_mask)` when the mask is
+    cached for the run — skips the per-step cumsum+scatter. Must be
+    derived from this exact `key_mask`."""
     b, l, c = tokens.shape
     # One fused [C, 3C] projection instead of three [C, C] matmuls: at
     # C=64 the separate projections use half the MXU's output lanes;
@@ -595,7 +632,7 @@ def masked_attention_flash(params: dict, tokens: jax.Array,
     if (key_mask is not None and mask_density is not None
             and l >= COMPACT_MIN_TOKENS):
         k, v, key_mask = compact_keys(k, v, key_mask,
-                                      density=mask_density)
+                                      density=mask_density, plan=plan)
         # compaction guarantees >=1 visible key per row (empty masks are
         # NaN-poisoned), so exp underflow of the -1e30 bias zeroes masked
         # keys exactly and the explicit valid multiply can be skipped

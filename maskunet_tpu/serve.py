@@ -251,12 +251,16 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
         if masks is not None:
             masks = jax.device_put(masks, mesh_lib.batch_sharding(mesh))
 
+    # compaction plans from the FINAL serving masks (post-broadcast,
+    # post-sharding) — constant for the server's lifetime
+    mask_plans = mu.precompute_mask_plans(masks)
+
     @jax.jit
     def forward(params, masks, x):
         out, _ = mu.apply(params, None,
                           x.astype(jnp.float32) / 255.0, cfg=cfg,
                           masks=masks, train=False, folded=True,
-                          mesh=mesh)
+                          mesh=mesh, mask_plans=mask_plans)
         return jnp.argmax(out.semantic, axis=-1).astype(jnp.uint8)
 
     return forward, infer_params, masks, cfg

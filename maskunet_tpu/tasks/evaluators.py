@@ -62,6 +62,9 @@ def _iter_eval(recipe: Recipe, ds, num_classes: int, ts, *,
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
                                 compute_dtype=compute_dtype)
     eval_step = step_lib.cached_eval_step(cfg, recipe.task_config, mesh)
+    # compaction plans once per eval run, not once per batch
+    from maskunet_tpu.models import maskattn_unet as model_lib
+    mask_plans = model_lib.precompute_mask_plans(ts.masks)
     sharding = None
     if mesh is not None:
         from maskunet_tpu.parallel import mesh as mesh_lib
@@ -72,7 +75,7 @@ def _iter_eval(recipe: Recipe, ds, num_classes: int, ts, *,
     n = len(ds)
     for i, batch in enumerate(batches.epoch(0)):
         dev_batch = pipeline.to_device(batch, sharding=sharding)
-        result = eval_step(ts, dev_batch)
+        result = eval_step(ts, dev_batch, mask_plans)
         host = {
             "pred": np.asarray(result["pred"]),
             "prob": np.asarray(result["prob"]),

@@ -78,6 +78,8 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
     cfg = loop_lib.model_config(recipe, num_classes, attn_impl=attn_impl,
                                 compute_dtype=compute_dtype)
     eval_step = step_lib.cached_eval_step(cfg, recipe.task_config, None)
+    from maskunet_tpu.models import maskattn_unet as model_lib
+    mask_plans = model_lib.precompute_mask_plans(ts.masks)
     ds = _DirectoryDataset(images_dir, recipe.img_size)
     batches = pipeline.BatchIterator(ds, recipe.batch_size, shuffle=False,
                                      drop_last=False, pad_last=True)
@@ -88,7 +90,7 @@ def predict_directory(recipe: Recipe, ts, images_dir: str, out_dir: str, *,
     file_iter = iter(ds.files)
     for batch in batches.epoch(0):
         valid = batch.pop("valid")
-        result = eval_step(ts, pipeline.to_device(batch))
+        result = eval_step(ts, pipeline.to_device(batch), mask_plans)
         preds = np.asarray(result["pred"]).astype(np.uint8)
         probs = np.asarray(result["prob"]) if save_instances else None
         embs = (np.asarray(result["embeddings"])

@@ -151,9 +151,14 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         ts = mesh_lib.put_replicated(mesh, ts)
         sharding = mesh_lib.batch_sharding(mesh)
 
+    # compaction plans are derived from the masks the state ACTUALLY
+    # carries — computed here, after restore/warm-start settled ts.masks,
+    # so the per-step graph skips the slot-assignment cumsum+scatter
+    mask_plans = model_lib.precompute_mask_plans(ts.masks)
     train_step = jax.jit(
         step_lib.make_train_step(cfg, recipe.task_config, tx, mesh=mesh,
-                                 grad_accum=grad_accum),
+                                 grad_accum=grad_accum,
+                                 mask_plans=mask_plans),
         donate_argnums=(0,))
     logger = metrics_log.MetricsLogger(workdir, f"train_{recipe.name}")
     meter = metrics_log.Throughput()
@@ -284,6 +289,7 @@ def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
                     ) -> dict[str, float]:
     eval_step = step_lib.cached_eval_step(cfg, recipe.task_config,
                                           mesh)
+    mask_plans = model_lib.precompute_mask_plans(ts.masks)
     # pad_last so validation sets smaller than a batch still evaluate
     # (padded rows are metric-masked in the eval step)
     batches = pipeline.BatchIterator(
@@ -294,7 +300,7 @@ def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
     with pipeline.Prefetcher(batches.epoch(0),
                              sharding=sharding) as prefetcher:
         for i, batch in enumerate(prefetcher):
-            result = eval_step(ts, batch)
+            result = eval_step(ts, batch, mask_plans)
             for k, v in result["metrics"].items():
                 total[k] = total.get(k, 0.0) + float(v)
             count += 1

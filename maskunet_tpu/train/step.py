@@ -67,10 +67,16 @@ def _compute_loss(out: model.ModelOutput, batch: dict, task: TaskConfig,
 
 
 def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
-                    tx, mesh=None, grad_accum: int = 1
+                    tx, mesh=None, grad_accum: int = 1, mask_plans=None
                     ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Returns a pure step(ts, batch) -> (ts, metrics), ready for jit/pjit.
     `mesh` enables in-model sharding annotations (DP batch + bottleneck TP).
+
+    `mask_plans`: `model.precompute_mask_plans(ts.masks)` — MUST be
+    derived from the exact masks the state carries (compute it after any
+    checkpoint restore). Used only on the 'cached' mask policy; the
+    'fresh' policy regenerates masks per step and recomputes plans
+    in-graph.
 
     `grad_accum > 1`: the batch's leading dim is split into that many
     microbatches processed sequentially under `lax.scan`; gradients are
@@ -81,12 +87,13 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     — the same semantics as per-replica BN, documented divergence from a
     monolithic large batch."""
 
-    def grads_and_metrics(params, mstate, batch, masks, dropout_rng,
+    def grads_and_metrics(params, mstate, batch, masks, plans, dropout_rng,
                           triplet_rng):
         def loss_fn(params):
             out, new_mstate = model.apply(
                 params, mstate, batch["image"], cfg=cfg,
-                masks=masks, train=True, dropout_rng=dropout_rng, mesh=mesh)
+                masks=masks, train=True, dropout_rng=dropout_rng, mesh=mesh,
+                mask_plans=plans)
             loss, metrics = _compute_loss(out, batch, task, triplet_rng)
             return loss, (metrics, new_mstate, out)
 
@@ -103,12 +110,14 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
         if task.mask_policy == "fresh" or ts.masks is None:
             masks = model.make_attention_masks(mask_rng, micro,
                                                cfg.img_size)
+            plans = None               # per-step masks: plan in-graph
         else:
             masks = ts.masks
+            plans = mask_plans
 
         if grad_accum == 1:
             grads, metrics, new_mstate = grads_and_metrics(
-                ts.params, ts.model_state, batch, masks, dropout_rng,
+                ts.params, ts.model_state, batch, masks, plans, dropout_rng,
                 triplet_rng)
         else:
             stacked = {k: v.reshape((grad_accum, micro) + v.shape[1:])
@@ -119,7 +128,7 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
                 d_rng = jax.random.fold_in(dropout_rng, i)
                 t_rng = jax.random.fold_in(triplet_rng, i)
                 g, m, mstate = grads_and_metrics(
-                    ts.params, mstate, mb, masks, d_rng, t_rng)
+                    ts.params, mstate, mb, masks, plans, d_rng, t_rng)
                 acc = jax.tree.map(lambda a, b: a + b, acc, g)
                 return (mstate, acc, i + 1), m
 
@@ -156,13 +165,20 @@ def cached_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
 def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
                    mesh=None) -> Callable[[TrainState, dict], dict]:
     """Eval step: running BN stats, no dropout; returns metrics + argmax
-    prediction map (for host-side instance/panoptic decoding)."""
+    prediction map (for host-side instance/panoptic decoding).
 
-    def step(ts: TrainState, batch: dict):
+    `step(ts, batch, mask_plans=None)`: pass
+    `model.precompute_mask_plans(ts.masks)` (computed ONCE per eval run,
+    outside the per-batch loop) to skip the in-graph compaction slot
+    assignment — plans are a traced argument, so the one jitted step per
+    (cfg, task, mesh) stays shared across runs with different masks."""
+
+    def step(ts: TrainState, batch: dict, mask_plans=None):
         masks = ts.masks
         if masks is None:
             masks = model.make_attention_masks(
                 ts.rng, batch["image"].shape[0], cfg.img_size)
+            mask_plans = None          # per-call masks: plan in-graph
         # padded eval rows (pipeline pad_last) are masked out of every
         # metric via the negative-label convention
         valid = batch.get("valid")
@@ -174,7 +190,8 @@ def make_eval_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
                 batch["instance"] = jnp.where(valid[:, None, None],
                                               batch["instance"], 0)
         out, _ = model.apply(ts.params, ts.model_state, batch["image"],
-                             cfg=cfg, masks=masks, train=False, mesh=mesh)
+                             cfg=cfg, masks=masks, train=False, mesh=mesh,
+                             mask_plans=mask_plans)
         _, metrics = _compute_loss(out, batch, task,
                                    jax.random.fold_in(ts.rng, 1))
         metrics["miou"] = metrics_ops.mean_iou(

@@ -206,3 +206,68 @@ def test_safe_softmax_fallback_matches_dense(monkeypatch):
     of = flash_attention.masked_attention_flash(params, tokens, mask)
     od = attention.masked_attention_dense(params, tokens, mask)
     np.testing.assert_allclose(np.asarray(of), np.asarray(od), atol=2e-4)
+
+
+def test_precomputed_plan_matches_inline(monkeypatch):
+    """plan_compaction precomputed outside the graph must give bitwise
+    the same forward and grads as the in-graph slot assignment (it IS
+    the same computation, hoisted out of the per-step graph)."""
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    params, tokens, mask = _setup(b=2, l=512, c=64)
+    plan = fa.plan_compaction(mask)
+
+    inline = fa.masked_attention_flash(params, tokens, mask)
+    planned = fa.masked_attention_flash(params, tokens, mask, plan=plan)
+    np.testing.assert_array_equal(np.asarray(planned), np.asarray(inline))
+
+    g_inline = jax.grad(lambda t: jnp.sum(jnp.square(
+        fa.masked_attention_flash(params, t, mask))))(tokens)
+    g_planned = jax.grad(lambda t: jnp.sum(jnp.square(
+        fa.masked_attention_flash(params, t, mask, plan=plan))))(tokens)
+    np.testing.assert_array_equal(np.asarray(g_planned),
+                                  np.asarray(g_inline))
+
+
+def test_plan_poisoning_preserved(monkeypatch):
+    """Overflow/empty-mask NaN-poisoning survives the precomputed-plan
+    path (the plan carries the `bad` rows)."""
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    params, tokens, _ = _setup(b=2, l=2048, c=64)
+    mask = jnp.ones((2, 2048), bool)          # denser than declared 0.5
+    plan = fa.plan_compaction(mask, density=0.5)
+    out = fa.masked_attention_flash(params, tokens, mask, plan=plan)
+    assert np.isnan(np.asarray(out)).any()
+
+
+def test_precompute_mask_plans_layers():
+    """Model-level plan pytree: plans only for compacted (>=4096-token)
+    layers, None elsewhere; layout parallels the masks tuple."""
+    from maskunet_tpu.models import maskattn_unet as mu
+    from maskunet_tpu.ops import flash_attention as fa
+    masks = mu.make_attention_masks(jax.random.key(0), 2, 128)
+    plans = mu.precompute_mask_plans(masks)
+    assert len(plans) == len(masks)
+    for m, p in zip(masks, plans):
+        if m.shape[-1] >= fa.COMPACT_MIN_TOKENS:
+            assert isinstance(p, fa.CompactPlan)
+            assert p.idx.shape[0] == m.shape[0]
+        else:
+            assert p is None
+    assert mu.precompute_mask_plans(None) is None
+
+
+def test_model_forward_with_plans_matches():
+    """Full model forward with mask_plans == forward without (bitwise)."""
+    from maskunet_tpu.models import maskattn_unet as mu
+    cfg = mu.MaskAttnUNetConfig(c_out=8, img_size=64, attn_impl="flash")
+    params, state = mu.init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    masks = mu.make_attention_masks(jax.random.key(2), 2, 64)
+    plans = mu.precompute_mask_plans(masks)
+    out_a, _ = mu.apply(params, state, x, cfg=cfg, masks=masks, train=False)
+    out_b, _ = mu.apply(params, state, x, cfg=cfg, masks=masks, train=False,
+                        mask_plans=plans)
+    np.testing.assert_array_equal(np.asarray(out_b.semantic),
+                                  np.asarray(out_a.semantic))

@@ -380,3 +380,29 @@ def test_lr_schedule_and_inference_restore(tmp_path):
         np.asarray(jax.device_get(res.state.params
                                   )["initial"]["conv1"]["kernel"]))
     assert int(restored.step) == 3
+
+
+@pytest.mark.slow
+def test_train_step_with_mask_plans_matches(monkeypatch):
+    """make_train_step(mask_plans=...) is numerically identical to the
+    in-graph slot assignment on the cached mask policy (flash path with
+    compaction engaged). (The fast bitwise equivalents live in
+    test_attention.py; this locks the train-step threading.)"""
+    from maskunet_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "COMPACT_MIN_TOKENS", 256)
+    cfg = mu.MaskAttnUNetConfig(c_out=4, img_size=32, attn_impl="flash")
+    _, task, tx, ts = _setup(cfg=cfg, batch=2)
+    batch = _synthetic_batch(cfg, batch=2)
+    plans = mu.precompute_mask_plans(ts.masks)
+    assert any(p is not None for p in plans)   # compaction engaged
+
+    step_inline = jax.jit(step_lib.make_train_step(cfg, task, tx))
+    step_plan = jax.jit(step_lib.make_train_step(cfg, task, tx,
+                                                 mask_plans=plans))
+    ts_a, m_a = step_inline(ts, batch)
+    ts_b, m_b = step_plan(ts, batch)
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7),
+        ts_a.params, ts_b.params)

@@ -13,8 +13,11 @@ import jax, jax.numpy as jnp
 print((jnp.ones((256,256))@jnp.ones((256,256))).sum(), jax.devices())
 " || { echo TUNNEL_STILL_DOWN; exit 1; }
 
-# 1. bench sanity (inference + training headline numbers)
-timeout 1200 python bench.py | tee /tmp/r3q/bench.json
+# 1. bench sanity (inference + training headline numbers); the liveness
+#    gate above already passed, so don't let bench.py's own outage-retry
+#    loop (MASKUNET_BENCH_TRIES) stretch the step budget
+timeout 2700 env MASKUNET_BENCH_TRIES=2 MASKUNET_BENCH_RETRY_SLEEP_S=60 \
+  python bench.py | tee /tmp/r3q/bench.json
 
 # 2. int8 quantized inference A/B (new serving feature: is int8 a win
 #    on the MXU once the dynamic-quant reduce + dequant are paid?)
@@ -25,3 +28,7 @@ timeout 2400 python tools/conv_model_ab.py | tee /tmp/r3q/conv_model_ab.txt
 
 # 4. kernel parity on real hardware (regression gate after any kernel use)
 timeout 1800 python tools/tpu_kernel_paritycheck.py | tee /tmp/r3q/parity.txt
+
+# 5. precomputed-compaction-plan A/B (VERDICT r2 experiment (b): hoist the
+#    mask slot assignment out of the per-step graph)
+timeout 1800 python tools/plan_ab.py 8 30 | tee /tmp/r3q/plan_ab.txt
