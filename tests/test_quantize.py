@@ -222,6 +222,27 @@ def test_serve_calibrate_images(tmp_path):
             compute_dtype="float32", batch_size=2,
             calibrate_images=str(d))
 
+    # a count not divisible by the serving batch still calibrates (the
+    # ragged tail is padded by repetition, not dropped) ...
+    cv2.imwrite(str(d / "c2.png"),
+                rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    forward, params, masks, cfg = serve.build_inference_fn(
+        rec, 8, "/tmp/nonexistent_workdir", "best",
+        compute_dtype="float32", batch_size=2, quantize="int8",
+        calibrate_images=str(d))
+    assert float(params["initial"]["conv1"]["a_scale"]) > 0
+
+    # ... and an empty calibration directory fails loudly (the dataset
+    # fail-fasts on no images; serve's own empty-check is defense-in-depth)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises((FileNotFoundError, ValueError),
+                       match="[Nn]o (calibration )?images"):
+        serve.build_inference_fn(
+            rec, 8, "/tmp/nonexistent_workdir", "best",
+            compute_dtype="float32", batch_size=2, quantize="int8",
+            calibrate_images=str(empty))
+
 
 def test_unknown_quantize_mode_raises():
     from maskunet_tpu import serve
