@@ -137,8 +137,10 @@ def main() -> None:
     forever and the round would record no number at all, so: probe
     liveness in a killable child (180 s), run the measurement in a
     killable child (default 2400 s — first full-model compile is
-    ~100 s), and retry through transient outages. The child writes the
-    one JSON line straight to stdout. Knobs: MASKUNET_BENCH_TRIES
+    ~100 s), and retry through transient outages. The child's stdout is
+    captured and only its last line (the JSON) is forwarded, so a child
+    that hangs after printing cannot leave duplicate lines across
+    retries. Knobs: MASKUNET_BENCH_TRIES
     (default 6), MASKUNET_BENCH_CHILD_TIMEOUT_S, MASKUNET_BENCH_RETRY_SLEEP_S.
     """
     import os
@@ -165,10 +167,18 @@ def main() -> None:
                 time.sleep(retry_sleep)
             continue
         try:
-            subprocess.run(
+            # capture child stdout and forward only its last line: a child
+            # that printed its JSON but hung at exit would otherwise leave
+            # a duplicate line once the retry also succeeds
+            res = subprocess.run(
                 [sys.executable, __file__, "--child", str(batch)],
-                timeout=child_timeout, check=True)
-            return
+                timeout=child_timeout, check=True, stdout=subprocess.PIPE,
+                text=True)
+            lines = [ln for ln in (res.stdout or "").splitlines() if ln]
+            if lines:
+                print(lines[-1])
+                return
+            last_err = "measurement child produced no output"
         except subprocess.TimeoutExpired:
             last_err = f"measurement child exceeded {child_timeout:.0f}s"
         except subprocess.CalledProcessError as e:
@@ -182,8 +192,14 @@ def main() -> None:
     sys.exit(1)
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        _measure_and_print(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+def _dispatch(argv) -> None:
+    """`--child` runs one in-process measurement; anything else is the
+    probing/retrying parent (optional positional batch size)."""
+    if len(argv) > 1 and argv[1] == "--child":
+        _measure_and_print(int(argv[2]) if len(argv) > 2 else 8)
     else:
         main()
+
+
+if __name__ == "__main__":
+    _dispatch(sys.argv)

@@ -61,7 +61,7 @@ def export_serving_artifact(recipe, num_classes: int, workdir: str,
     # checkpoint to distribute, no skew between weights and code)
     @jax.jit
     def serving_fn(x):
-        return forward(infer_params, masks, x)
+        return forward(infer_params, x)
 
     spec = jax.ShapeDtypeStruct((batch, cfg.img_size, cfg.img_size, 3),
                                 np.uint8)

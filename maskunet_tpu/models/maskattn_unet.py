@@ -296,7 +296,7 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         spec = P("data", None, None, "model" if spec_channels_tp else None)
         return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
-    plans = mask_plans if mask_plans is not None else (None,) * 6
+    plans = mask_plans if mask_plans is not None else (None,) * len(masks)
 
     def attn(i, h):
         fn = lambda p, x_, m, pl_: attention.spatial_attention(  # noqa: E731

@@ -152,8 +152,12 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
     """Builds the folded serving forward and its operands.
 
     Returns ``(forward, infer_params, masks, cfg)`` where ``forward(params,
-    masks, x_uint8)`` is a jitted class-map prediction. Shared by the live
-    server (`build_model_runner`) and the AOT exporter
+    x_uint8)`` is a jitted class-map prediction. The serving masks and
+    their compaction plans are baked into the closure as a consistent
+    pair (a plan is only valid for the exact mask it was computed from,
+    so accepting caller-supplied masks would silently mispair them);
+    `masks` is returned for inspection/export metadata only. Shared by
+    the live server (`build_model_runner`) and the AOT exporter
     (`maskunet_tpu.export`), so both serve exactly the same computation.
 
     `mesh`: optional data-parallel mesh (`parallel.mesh.make_mesh`) — the
@@ -252,11 +256,12 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
             masks = jax.device_put(masks, mesh_lib.batch_sharding(mesh))
 
     # compaction plans from the FINAL serving masks (post-broadcast,
-    # post-sharding) — constant for the server's lifetime
+    # post-sharding) — constant for the server's lifetime; masks and
+    # plans are closed over together so they cannot be mispaired
     mask_plans = mu.precompute_mask_plans(masks)
 
     @jax.jit
-    def forward(params, masks, x):
+    def forward(params, x):
         out, _ = mu.apply(params, None,
                           x.astype(jnp.float32) / 255.0, cfg=cfg,
                           masks=masks, train=False, folded=True,
@@ -281,13 +286,13 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
 
     if mesh is None:
         def runner(images: np.ndarray) -> np.ndarray:
-            return np.asarray(forward(infer_params, masks, images))
+            return np.asarray(forward(infer_params, images))
     else:
         from maskunet_tpu.parallel import mesh as mesh_lib
 
         def runner(images: np.ndarray) -> np.ndarray:
             x = mesh_lib.shard_batch(mesh, np.ascontiguousarray(images))
-            return np.asarray(forward(infer_params, masks, x))
+            return np.asarray(forward(infer_params, x))
 
     return runner, cfg.img_size
 

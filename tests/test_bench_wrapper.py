@@ -6,12 +6,15 @@ driver records no round number at all if it does. These tests exercise
 the retry/timeout paths with subprocess.run monkeypatched; the real
 measurement path is covered by running `bench.py --child` on CPU.
 """
+import os
 import subprocess
 import sys
 
 import pytest
 
-sys.path.insert(0, ".")  # repo root (bench.py is not in the package)
+# repo root (bench.py is not in the package); derived from this file so
+# the suite survives out-of-root pytest invocation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
@@ -28,7 +31,12 @@ class _Recorder:
             raise subprocess.TimeoutExpired(argv, timeout)
         if out == "fail":
             raise subprocess.CalledProcessError(1, argv)
-        return subprocess.CompletedProcess(argv, 0)
+        # measurement children emit stderr noise then the one JSON line;
+        # the parent must forward only the last line
+        stdout = None
+        if "--child" in argv:
+            stdout = '{"metric": "m", "value": 1.0}\n'
+        return subprocess.CompletedProcess(argv, 0, stdout=stdout)
 
 
 def _run_main(monkeypatch, outcomes, tries=3):
@@ -73,7 +81,52 @@ def test_permanent_outage_exits_nonzero(monkeypatch):
     assert len(rec.calls) == 3                 # bounded: one probe per try
 
 
-def test_child_flag_routes_to_measurement():
-    # the dispatch in __main__ uses argv[1] == "--child"; guard the
-    # contract that plain `python bench.py <batch>` still parses a batch
-    assert bench._PROBE.startswith("import jax")
+def test_success_forwards_only_last_json_line(monkeypatch, capsys):
+    rec = _run_main(monkeypatch, ["ok", "ok"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ['{"metric": "m", "value": 1.0}']
+
+
+def test_empty_child_output_is_retried(monkeypatch):
+    # a child that exits 0 without printing (tunnel died at the flush)
+    # counts as a failed attempt, not a silent success
+    rec = _Recorder(["ok", "ok", "ok", "ok"])
+
+    def run(argv, timeout=None, check=False, **kw):
+        res = rec(argv, timeout=timeout, check=check, **kw)
+        if len(rec.calls) == 2:           # first measurement child
+            res = subprocess.CompletedProcess(argv, 0, stdout="")
+        return res
+
+    monkeypatch.setattr(subprocess, "run", run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("MASKUNET_BENCH_TRIES", "3")
+    monkeypatch.setenv("MASKUNET_BENCH_RETRY_SLEEP_S", "0")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    assert len(rec.calls) == 4            # probe, child, probe, child
+
+
+def test_child_flag_routes_to_measurement(monkeypatch):
+    # the __main__ dispatch: `--child N` runs one in-process measurement
+    calls = []
+    monkeypatch.setattr(bench, "_measure_and_print",
+                        lambda batch: calls.append(batch))
+    monkeypatch.setattr(bench, "main",
+                        lambda: calls.append("parent"))
+    bench._dispatch(["bench.py", "--child", "4"])
+    assert calls == [4]
+    bench._dispatch(["bench.py", "--child"])
+    assert calls == [4, 8]                # default batch
+    bench._dispatch(["bench.py", "16"])
+    assert calls == [4, 8, "parent"]
+
+
+def test_parent_batch_arg_reaches_child(monkeypatch):
+    # plain `python bench.py <batch>`: the batch must ride into the
+    # measurement child's argv
+    rec = _run_main(monkeypatch, ["ok", "ok"])
+    monkeypatch.setattr(sys, "argv", ["bench.py", "16"])
+    bench.main()
+    assert rec.calls[1][0][-2:] == ["--child", "16"]

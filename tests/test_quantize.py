@@ -187,7 +187,7 @@ def test_int8_composes_with_bf16_cast():
     assert conv["kernel_q"].dtype == jnp.int8
     assert conv["w_scale"].dtype == jnp.float32
     assert conv["bias"].dtype == jnp.bfloat16
-    out = np.asarray(forward(params, masks,
+    out = np.asarray(forward(params,
                              np.zeros((2, 32, 32, 3), np.uint8)))
     assert out.shape == (2, 32, 32) and out.max() < 8
 
@@ -212,7 +212,7 @@ def test_serve_calibrate_images(tmp_path):
         compute_dtype="float32", batch_size=2, quantize="int8",
         calibrate_images=str(d))
     assert float(params["initial"]["conv1"]["a_scale"]) > 0
-    out = np.asarray(forward(params, masks,
+    out = np.asarray(forward(params,
                              np.zeros((2, 32, 32, 3), np.uint8)))
     assert out.shape == (2, 32, 32) and out.max() < 8
 

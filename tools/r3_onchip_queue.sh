@@ -15,8 +15,12 @@ print((jnp.ones((256,256))@jnp.ones((256,256))).sum(), jax.devices())
 
 # 1. bench sanity (inference + training headline numbers); the liveness
 #    gate above already passed, so don't let bench.py's own outage-retry
-#    loop (MASKUNET_BENCH_TRIES) stretch the step budget
+#    loop (MASKUNET_BENCH_TRIES) stretch the step budget. Timeout math:
+#    2 tries must fit inside the outer 2700s — probe 180 + child 1100 +
+#    sleep 60 + probe 180 + child 1100 = 2620 < 2700 (child compile is
+#    ~100s warm-cache; 1100s only trips if the tunnel is degraded).
 timeout 2700 env MASKUNET_BENCH_TRIES=2 MASKUNET_BENCH_RETRY_SLEEP_S=60 \
+  MASKUNET_BENCH_CHILD_TIMEOUT_S=1100 \
   python bench.py | tee /tmp/r3q/bench.json
 
 # 2. int8 quantized inference A/B (new serving feature: is int8 a win
