@@ -88,6 +88,12 @@ def main(argv=None) -> int:
     tp.add_argument("--init-drop", nargs="*", default=[],
                     help="param path prefixes to keep fresh (e.g. "
                          "final_conv final_bn for a head swap)")
+    tp.add_argument("--profile-dir", default=None,
+                    help="capture a device trace of a few steady-state "
+                         "steps to this directory (view in TensorBoard "
+                         "or tools/parse_xplane.py)")
+    tp.add_argument("--profile-steps", type=int, default=5,
+                    help="steps in the trace window (default 5)")
 
     ep = sub.add_parser("evaluate")
     _add_common(ep)
@@ -218,7 +224,9 @@ def main(argv=None) -> int:
             debug_nan=args.debug_nan, eval_every=args.eval_every,
             eval_max_batches=args.eval_max_batches,
             init_from=args.init_from, init_drop=tuple(args.init_drop),
-            cache_examples=not args.no_cache)
+            cache_examples=not args.no_cache,
+            profile_dir=args.profile_dir,
+            profile_steps=args.profile_steps)
         print(json.dumps({
             "recipe": recipe.name,
             "best_loss": result.best_loss,

@@ -100,7 +100,9 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           eval_max_batches: int = 8,
           init_from: str | None = None,
           init_drop: tuple[str, ...] = (),
-          cache_examples: bool = True) -> TrainResult:
+          cache_examples: bool = True,
+          profile_dir: str | None = None,
+          profile_steps: int = 5) -> TrainResult:
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
     if data_fraction < 1.0:
         from maskunet_tpu.data.subset import FractionSubset
@@ -181,6 +183,27 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     steps_done = 0
     epochs = epochs_planned   # same budget the lr schedule was built for
 
+    # Device-trace window (the reference has no profiler at all, SURVEY.md
+    # §5): skip the first 2 steps (compile + warm cache pollute the
+    # trace), capture `profile_steps` steps, parse offline with
+    # tools/parse_xplane.py or TensorBoard.
+    profile_start = 2 if profile_dir is not None else -1
+    profiling = False
+
+    def _maybe_profile(metrics):
+        nonlocal profiling
+        if steps_done == profile_start:
+            jax.block_until_ready(metrics)   # trace only steady-state work
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+        elif profiling and steps_done >= profile_start + profile_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            profiling = False
+            if verbose:
+                print(f"device trace ({profile_steps} steps) -> "
+                      f"{profile_dir}")
+
     for epoch in range(epochs):
         total_loss = total_iou = 0.0
         count = 0
@@ -200,6 +223,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 total_iou += iou
                 count += 1
                 steps_done += 1
+                if profile_start >= 0:
+                    _maybe_profile(metrics)
                 if log_every and i % log_every == 0 and i != 0 and verbose:
                     print(f"epoch {epoch + 1}: batch[{i}] "
                           f"loss {total_loss / count:.4f} "
@@ -278,6 +303,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 print("early stopping triggered")
             break
 
+    if profiling:   # run ended inside the trace window (max_steps, early
+        jax.profiler.stop_trace()   # stop, tiny dataset) — still flush it
     logger.close()
     manager.wait()   # all async checkpoint writes durable before return
     return TrainResult(ts, history, best_loss, best_iou,

@@ -173,6 +173,26 @@ def test_warm_start_via_loop(tmp_path):
     assert res.history[0]["miou"] > 0.4
 
 
+def test_profile_dir_writes_device_trace(tmp_path):
+    """--profile-dir captures an xplane trace of steady-state steps and
+    stops cleanly even when the run ends inside the trace window."""
+    import dataclasses
+    import glob
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=32, checkpoint_name="prof")
+    trace_dir = tmp_path / "trace"
+    loop.train(rec, None, str(tmp_path), max_steps=4, log_every=0,
+               verbose=False, profile_dir=str(trace_dir),
+               profile_steps=100)   # window larger than the run
+    files = glob.glob(str(trace_dir / "**" / "*.xplane.pb"),
+                      recursive=True)
+    assert files, "no xplane trace written"
+
+
 @pytest.mark.slow
 def test_training_dynamics_match_torch_oracle():
     """Lockstep training parity: same weights, batches, masks -> per-step

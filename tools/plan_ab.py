@@ -12,8 +12,11 @@ Usage: python tools/plan_ab.py [batch] [steps]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from maskunet_tpu.utils import compile_cache
 
