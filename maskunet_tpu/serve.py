@@ -92,7 +92,19 @@ class _Batcher:
         return slot["result"]
 
     def _worker(self) -> None:
+        # One-batch-deep pipeline: JAX dispatch is async, so batch N's
+        # device execution (and, through a remote-device tunnel, its
+        # round-trip latency) overlaps batch N+1's assembly + dispatch.
+        # The blocking result fetch happens in _resolve, AFTER the next
+        # batch is in flight — under load this roughly doubles
+        # throughput; an idle queue resolves immediately, so lone
+        # requests pay no extra latency.
+        pending = None   # (preds, items, t0) dispatched but not fetched
         while True:
+            if pending is not None and self._q.empty():
+                self._resolve(pending)
+                pending = None
+                continue
             first = self._q.get()
             items = [first]
             deadline = time.monotonic() + self.max_wait
@@ -121,25 +133,50 @@ class _Batcher:
                 if pad:
                     images = np.concatenate(
                         [images, np.repeat(images[-1:], pad, axis=0)])
-                preds = self._run(images)
-                for i, (_, slot, done) in enumerate(items):
-                    slot["result"] = np.asarray(preds[i])
-                    done.set()
-                with self._lock:
-                    self.stats["requests"] += len(items)
+                preds = self._run(images)   # async dispatch, no fetch
             except Exception as e:  # noqa: BLE001
                 for _, slot, done in items:
                     slot["error"] = repr(e)
                     done.set()
                 with self._lock:
                     self.stats["errors"] += len(items)
+                    self.stats["batches"] += 1
+                    self.stats["batched_images"] += len(items)
+                continue
+            if pending is not None:
+                self._resolve(pending)
+            pending = (preds, items, t0)
+
+    def _resolve(self, entry) -> None:
+        """Fetch a dispatched batch's results and wake its callers."""
+        preds, items, t0 = entry
+        try:
+            # ONE whole-batch fetch: np.asarray blocks until the device
+            # values are ready (JAX deferred errors also surface here);
+            # per-item np.asarray(preds[i]) on a device array would issue
+            # a separate slice + transfer round trip per request
+            preds = np.asarray(preds)
+            for i, (_, slot, done) in enumerate(items):
+                slot["result"] = preds[i]
+                done.set()
             with self._lock:
-                self.stats["batches"] += 1
-                self.stats["batched_images"] += len(items)
-                ms = (time.monotonic() - t0) * 1e3
-                ema = self.stats["run_ms_ema"]
-                self.stats["run_ms_ema"] = round(
-                    ms if ema == 0.0 else 0.9 * ema + 0.1 * ms, 2)
+                self.stats["requests"] += len(items)
+        except Exception as e:  # noqa: BLE001
+            for _, slot, done in items:
+                if not done.is_set():
+                    slot["error"] = repr(e)
+                    done.set()
+            with self._lock:
+                self.stats["errors"] += len(items)
+        with self._lock:
+            self.stats["batches"] += 1
+            self.stats["batched_images"] += len(items)
+            # time from batch assembly to results ready; overlapped
+            # batches legitimately report more than pure device time
+            ms = (time.monotonic() - t0) * 1e3
+            ema = self.stats["run_ms_ema"]
+            self.stats["run_ms_ema"] = round(
+                ms if ema == 0.0 else 0.9 * ema + 0.1 * ms, 2)
 
 
 def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
@@ -284,15 +321,17 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
         compute_dtype=compute_dtype, batch_size=batch_size,
         quantize=quantize, calibrate_images=calibrate_images, mesh=mesh)
 
+    # runners return the (async) jax Array — callers index/np.asarray it
+    # when they need values, which lets the batcher pipeline dispatches
     if mesh is None:
-        def runner(images: np.ndarray) -> np.ndarray:
-            return np.asarray(forward(infer_params, images))
+        def runner(images: np.ndarray):
+            return forward(infer_params, images)
     else:
         from maskunet_tpu.parallel import mesh as mesh_lib
 
-        def runner(images: np.ndarray) -> np.ndarray:
+        def runner(images: np.ndarray):
             x = mesh_lib.shard_batch(mesh, np.ascontiguousarray(images))
-            return np.asarray(forward(infer_params, x))
+            return forward(infer_params, x)
 
     return runner, cfg.img_size
 
@@ -452,6 +491,9 @@ def main(argv=None) -> int:
     batcher = _Batcher(runner, batch, args.max_wait_ms,
                        predict_timeout_s=args.predict_timeout_s)
 
+    # default listen backlog (5) refuses connections under bursty load
+    # long before the batcher is saturated
+    ThreadingHTTPServer.request_queue_size = 128
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
         make_handler(batcher, img_size, num_classes))

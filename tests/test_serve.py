@@ -263,3 +263,47 @@ def test_batcher_sheds_abandoned_requests():
     # the model batch contained only the live request (padded), never ran
     # a batch solely for the dead one
     assert m["batches"] == 1
+
+
+def test_batcher_pipeline_keeps_results_per_request():
+    """The one-deep dispatch pipeline (batch N fetched only after batch
+    N+1 is in flight) must still route every caller its own result —
+    a burst spanning many batches with per-request payloads."""
+    import queue as queue_mod
+    import threading as threading_mod
+
+    def run(images):                    # identity-ish, tags preserved
+        return images[..., 0].astype(np.int32) * 2
+
+    batcher = serve._Batcher.__new__(serve._Batcher)
+    batcher._run = run
+    batcher.batch_size = 2
+    batcher.max_wait = 0.005
+    batcher.predict_timeout_s = 30.0
+    batcher._q = queue_mod.Queue()
+    batcher._lock = threading_mod.Lock()
+    batcher.stats = {"requests": 0, "errors": 0, "batches": 0,
+                     "batched_images": 0, "shed": 0, "run_ms_ema": 0.0}
+    batcher._thread = threading_mod.Thread(target=batcher._worker,
+                                           daemon=True)
+    batcher._thread.start()
+
+    n = 9                               # odd: exercises a padded batch
+    results = [None] * n
+
+    def call(k):
+        img = np.full((4, 4, 3), k, np.uint8)
+        results[k] = batcher.predict(img)
+
+    threads = [threading_mod.Thread(target=call, args=(k,))
+               for k in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    for k in range(n):
+        assert results[k] is not None
+        np.testing.assert_array_equal(
+            results[k], np.full((4, 4), 2 * k, np.int32))
+    m = batcher.metrics()
+    assert m["requests"] == n and m["errors"] == 0

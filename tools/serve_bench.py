@@ -1,20 +1,22 @@
 """End-to-end HTTP serving throughput on the real chip.
 
 Starts the serving stack in-process (micro-batcher + ThreadingHTTPServer
-on an ephemeral port), fires concurrent JPEG POSTs, and reports req/s,
-latency percentiles, and the batcher's fill ratio.
+on an ephemeral port), fires concurrent JPEG POSTs from SEPARATE client
+processes (an in-process load generator shares the server's GIL and
+caps the measurement), and reports req/s, latency percentiles, and the
+batcher's fill ratio.
 
-    python tools/serve_bench.py [n_requests] [concurrency]
+    python tools/serve_bench.py [n_requests] [concurrency] [client_procs]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
-import urllib.request
 from http.server import ThreadingHTTPServer
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,29 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> None:
-    from maskunet_tpu.utils import compile_cache
-    compile_cache.enable()
+def client(url: str, n_requests: int, concurrency: int) -> None:
+    """Load-generator subprocess: POST loop, latencies JSON to stdout."""
+    import concurrent.futures
+    import urllib.request
+
     import cv2
 
-    from maskunet_tpu import serve
-    from maskunet_tpu.tasks import recipes as recipes_lib
-
-    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-
-    rec = recipes_lib.get("ade_semantic")
-    runner, img_size = serve.build_model_runner(
-        rec, 150, "/tmp/nonexistent_serve_bench", "best",
-        compute_dtype="bfloat16", batch_size=8)
-    runner(np.zeros((8, img_size, img_size, 3), np.uint8))  # warm compile
-    batcher = serve._Batcher(runner, 8, max_wait_ms=5.0)
-    httpd = ThreadingHTTPServer(
-        ("127.0.0.1", 0), serve.make_handler(batcher, img_size, 150))
-    threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    url = f"http://127.0.0.1:{httpd.server_address[1]}"
-
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(os.getpid())
     payloads = []
     for _ in range(8):
         img = rng.integers(0, 255, (160, 160, 3)).astype(np.uint8)
@@ -52,33 +39,88 @@ def main() -> None:
         payloads.append(jpg.tobytes())
 
     latencies = []
-    lat_lock = threading.Lock()
+    lock = threading.Lock()
 
     def post(i):
         req = urllib.request.Request(url + "/predict",
                                      data=payloads[i % len(payloads)],
                                      method="POST")
         t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=120) as r:
-            r.read()
-        with lat_lock:
+        for attempt in range(3):   # kernel may refuse past the backlog
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+                break
+            except (ConnectionError, OSError):
+                if attempt == 2:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        with lock:
             latencies.append(time.perf_counter() - t0)
 
-    # warmup
-    post(0)
-    import concurrent.futures
+    post(0)   # per-process warmup (excluded from the timed window)
+    latencies.clear()
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
         list(pool.map(post, range(n_requests)))
     wall = time.perf_counter() - t0
+    print(json.dumps({"wall": wall, "latencies": latencies}))
+
+
+def main() -> None:
+    if sys.argv[1:2] == ["--client"]:
+        client(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+
+    from maskunet_tpu.utils import compile_cache
+    compile_cache.enable()
+
+    from maskunet_tpu import serve
+    from maskunet_tpu.tasks import recipes as recipes_lib
+
+    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_procs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    rec = recipes_lib.get("ade_semantic")
+    runner, img_size = serve.build_model_runner(
+        rec, 150, "/tmp/nonexistent_serve_bench", "best",
+        compute_dtype="bfloat16", batch_size=8)
+    runner(np.zeros((8, img_size, img_size, 3), np.uint8))  # warm compile
+    batcher = serve._Batcher(runner, 8, max_wait_ms=5.0)
+    ThreadingHTTPServer.request_queue_size = 128   # hold bursts > backlog
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler(batcher, img_size, 150))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    per = max(n_requests // n_procs, 1)
+    conc = max(concurrency // n_procs, 1)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--client", url,
+         str(per), str(conc)],
+        stdout=subprocess.PIPE, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for _ in range(n_procs)]
+    outs = [p.communicate()[0] for p in procs]
     httpd.shutdown()
 
-    lat = np.sort(np.array(latencies[1:]))
+    latencies: list[float] = []
+    walls = []
+    for out in outs:
+        rec_out = json.loads(out.splitlines()[-1])
+        latencies.extend(rec_out["latencies"])
+        walls.append(rec_out["wall"])
+    # clients overlap (subprocess startup is outside their timed window);
+    # the slowest client's window spans the whole loaded period
+    wall = max(walls)
+    lat = np.sort(np.array(latencies))
     m = batcher.metrics()
     print(json.dumps({
-        "requests": n_requests,
-        "concurrency": concurrency,
-        "req_per_sec": round(n_requests / wall, 1),
+        "requests": per * n_procs,
+        "concurrency": conc * n_procs,
+        "client_procs": n_procs,
+        "req_per_sec": round(per * n_procs / wall, 1),
         "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
         "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 1),
         "avg_batch_fill": round(m["avg_batch_fill"], 3),
