@@ -16,6 +16,7 @@ sees full batches under load while single requests stay low-latency.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import queue
 import threading
@@ -47,21 +48,16 @@ class _Batcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    @contextlib.contextmanager
     def track(self):
         """Context manager marking one request in flight (handler-scoped)."""
-        import contextlib
-
-        @contextlib.contextmanager
-        def _cm():
+        with self._lock:
+            self._inflight += 1
+        try:
+            yield
+        finally:
             with self._lock:
-                self._inflight += 1
-            try:
-                yield
-            finally:
-                with self._lock:
-                    self._inflight -= 1
-
-        return _cm()
+                self._inflight -= 1
 
     def pending(self) -> int:
         """Requests accepted but not yet fully responded to."""
@@ -521,7 +517,18 @@ def main(argv=None) -> int:
     # (all serving threads are daemons — exiting early would kill them
     # mid-response while claiming a clean drain)
     deadline = time.monotonic() + args.drain_timeout_s
-    while batcher.pending() and time.monotonic() < deadline:
+    quiet = 0   # consecutive idle polls required: a connection can be
+    # accepted (or parked in the listen backlog) before its handler
+    # thread reaches track(), so a single pending()==0 sample right
+    # after shutdown() can race ahead of a request that is still being
+    # parsed — demand a short sustained-quiet window instead
+    while time.monotonic() < deadline:
+        if batcher.pending() == 0:
+            quiet += 1
+            if quiet >= 10:   # 0.5 s of continuous quiet
+                break
+        else:
+            quiet = 0
         time.sleep(0.05)
     server.server_close()
     print(json.dumps({"stopped": served,

@@ -27,6 +27,7 @@ import numpy as np
 def client(url: str, n_requests: int, concurrency: int) -> None:
     """Load-generator subprocess: POST loop, latencies JSON to stdout."""
     import concurrent.futures
+    import urllib.error
     import urllib.request
 
     import cv2
@@ -39,6 +40,7 @@ def client(url: str, n_requests: int, concurrency: int) -> None:
         payloads.append(jpg.tobytes())
 
     latencies = []
+    failures = [0]
     lock = threading.Lock()
 
     def post(i):
@@ -51,20 +53,31 @@ def client(url: str, n_requests: int, concurrency: int) -> None:
                 with urllib.request.urlopen(req, timeout=120) as r:
                     r.read()
                 break
+            except urllib.error.HTTPError:
+                # a 5xx (shed/timeout) is a RESULT, not a harness error:
+                # count it and keep the run alive (HTTPError is an
+                # OSError subclass — must be caught before the retry arm)
+                with lock:
+                    failures[0] += 1
+                return
             except (ConnectionError, OSError):
                 if attempt == 2:
-                    raise
+                    with lock:
+                        failures[0] += 1
+                    return
                 time.sleep(0.05 * (attempt + 1))
         with lock:
             latencies.append(time.perf_counter() - t0)
 
     post(0)   # per-process warmup (excluded from the timed window)
     latencies.clear()
+    failures[0] = 0
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
         list(pool.map(post, range(n_requests)))
     wall = time.perf_counter() - t0
-    print(json.dumps({"wall": wall, "latencies": latencies}))
+    print(json.dumps({"wall": wall, "latencies": latencies,
+                      "failures": failures[0]}))
 
 
 def main() -> None:
@@ -107,10 +120,12 @@ def main() -> None:
 
     latencies: list[float] = []
     walls = []
+    failed = 0
     for out in outs:
         rec_out = json.loads(out.splitlines()[-1])
         latencies.extend(rec_out["latencies"])
         walls.append(rec_out["wall"])
+        failed += rec_out.get("failures", 0)
     # clients overlap (subprocess startup is outside their timed window);
     # the slowest client's window spans the whole loaded period
     wall = max(walls)
@@ -120,7 +135,8 @@ def main() -> None:
         "requests": per * n_procs,
         "concurrency": conc * n_procs,
         "client_procs": n_procs,
-        "req_per_sec": round(per * n_procs / wall, 1),
+        "req_per_sec": round(len(latencies) / wall, 1),
+        "failed_requests": failed,
         "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
         "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 1),
         "avg_batch_fill": round(m["avg_batch_fill"], 3),
