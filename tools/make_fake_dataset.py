@@ -170,8 +170,10 @@ def main() -> None:
         _NOISE_SIGMA = float(sys.argv[sys.argv.index("--noise") + 1])
     if "--objects" in sys.argv:
         _MAX_OBJECTS = int(sys.argv[sys.argv.index("--objects") + 1])
+    size = (int(sys.argv[sys.argv.index("--size") + 1])
+            if "--size" in sys.argv else 96)
     {"coco": make_coco, "ade": make_ade,
-     "cityscapes": make_cityscapes}[kind](root, n=n)
+     "cityscapes": make_cityscapes}[kind](root, n=n, size=size)
     print(f"wrote fake {kind} dataset to {root}")
 
 
