@@ -204,9 +204,24 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 print(f"device trace ({profile_steps} steps) -> "
                       f"{profile_dir}")
 
+    # Metric consumption trails dispatch by one step: float(metrics[...])
+    # blocks on a device->host round trip, which serializes the step
+    # pipeline (through a remote-device tunnel each sync costs the full
+    # RTT — measured 3x the step time). Instead the async host copy
+    # starts at dispatch and is consumed on the NEXT iteration, when the
+    # transfer has already completed behind step N+1's compute. Totals
+    # are exact — every step is consumed, the last by the epoch flush.
+    # --debug-nan opts out (a NaN should name the step that made it).
+    def _consume(m, nonlocals):
+        loss = float(m["loss"])
+        iou = float(m["miou"])
+        nonlocals["total_loss"] += loss
+        nonlocals["total_iou"] += iou
+        nonlocals["count"] += 1
+
     for epoch in range(epochs):
-        total_loss = total_iou = 0.0
-        count = 0
+        acc = {"total_loss": 0.0, "total_iou": 0.0, "count": 0}
+        lagged = None   # dispatched step whose metrics are in flight
         with pipeline.Prefetcher(batches.epoch(epoch),
                                  sharding=sharding) as prefetcher:
             for i, batch in enumerate(prefetcher):
@@ -214,21 +229,24 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 ts, metrics = train_step(ts, batch)
                 current["ts"] = ts
                 meter.step(recipe.batch_size * grad_accum)
-                loss = float(metrics["loss"])
-                iou = float(metrics["miou"])
                 if debug_nan:
                     from maskunet_tpu.utils.profiling import nan_guard
                     nan_guard(metrics, f"step {steps_done}")
-                total_loss += loss
-                total_iou += iou
-                count += 1
+                    _consume(metrics, acc)
+                else:
+                    for v in metrics.values():
+                        v.copy_to_host_async()
+                    if lagged is not None:
+                        _consume(lagged, acc)
+                    lagged = metrics
                 steps_done += 1
                 if profile_start >= 0:
                     _maybe_profile(metrics)
-                if log_every and i % log_every == 0 and i != 0 and verbose:
+                if log_every and i % log_every == 0 and i != 0 and verbose \
+                        and acc["count"]:
                     print(f"epoch {epoch + 1}: batch[{i}] "
-                          f"loss {total_loss / count:.4f} "
-                          f"iou {total_iou / count:.4f}")
+                          f"loss {acc['total_loss'] / acc['count']:.4f} "
+                          f"iou {acc['total_iou'] / acc['count']:.4f}")
                 # independent of log_every (the reference nests its save
                 # inside the print cadence, ade_semantic.py:408-412 — here
                 # that coupling silently disabled saves for log_every=0)
@@ -237,6 +255,10 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                     manager.save_latest(ts)
                 if max_steps is not None and steps_done >= max_steps:
                     break
+        if lagged is not None:
+            _consume(lagged, acc)
+        total_loss, total_iou = acc["total_loss"], acc["total_iou"]
+        count = acc["count"]
 
         if count == 0:
             raise ValueError(
@@ -324,15 +346,30 @@ def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,
         pad_last=True)
     total: dict[str, float] = {}
     count = 0
+
+    def _add(m) -> None:
+        nonlocal count
+        host = jax.device_get(m)   # one transfer for all metrics
+        for k, v in host.items():
+            total[k] = total.get(k, 0.0) + float(v)
+        count += 1
+
+    # same one-batch-lag pipeline as the train loop: the async host copy
+    # of batch N's metrics completes behind batch N+1's compute
+    lagged = None
     with pipeline.Prefetcher(batches.epoch(0),
                              sharding=sharding) as prefetcher:
         for i, batch in enumerate(prefetcher):
             result = eval_step(ts, batch, mask_plans)
-            for k, v in result["metrics"].items():
-                total[k] = total.get(k, 0.0) + float(v)
-            count += 1
+            for v in result["metrics"].values():
+                v.copy_to_host_async()
+            if lagged is not None:
+                _add(lagged)
+            lagged = result["metrics"]
             if max_batches is not None and i + 1 >= max_batches:
                 break
+    if lagged is not None:
+        _add(lagged)
     if count == 0:
         raise ValueError("validation produced no batches")
     return {k: v / count for k, v in total.items()}
