@@ -64,6 +64,48 @@ def _device_snapshot(state: Any) -> Any:
     return jax.tree.unflatten(treedef, out)
 
 
+def _host_snapshot(state: Any) -> Any:
+    """Synchronous D2H snapshot: kick off all leaf copies, then gather
+    (the transfers overlap instead of running serially in device_get)."""
+    for leaf in jax.tree.leaves(state):
+        copy_async = getattr(leaf, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+    return jax.device_get(state)
+
+
+def _snapshot_for_async_save(state: Any) -> Any:
+    """On-device snapshot when HBM headroom allows, host snapshot otherwise.
+
+    The device snapshot pins a second full copy of the train state in HBM
+    until the background D2H finishes — for a run already near HBM
+    capacity that would turn an epoch-end save into a mid-training OOM,
+    so fall back to the synchronous host path when the device reports
+    insufficient headroom (1.5x the state size, leaving room for the next
+    step's activations) or when the copy itself exhausts memory."""
+    arrays = [l for l in jax.tree.leaves(state) if isinstance(l, jax.Array)]
+    need = sum(l.nbytes for l in arrays)
+    try:
+        for dev in {d for l in arrays for d in l.devices()}:
+            stats = dev.memory_stats() or {}
+            limit, used = stats.get("bytes_limit"), stats.get("bytes_in_use")
+            if limit is not None and used is not None \
+                    and limit - used < need * 1.5:
+                return _host_snapshot(state)
+    except Exception:  # noqa: BLE001 — backends without memory_stats
+        pass
+    try:
+        snapshot = _device_snapshot(state)
+        # cheap (HBM-bandwidth copy); surfaces allocation failure HERE
+        # rather than asynchronously inside a later train step
+        jax.block_until_ready(snapshot)
+        return snapshot
+    except Exception as e:  # noqa: BLE001
+        if "RESOURCE_EXHAUSTED" in repr(e) or "esource exhausted" in repr(e):
+            return _host_snapshot(state)
+        raise
+
+
 def _unkey(tree: Any) -> Any:
     """Typed PRNG keys -> raw uint32 key data (msgpack-serializable)."""
     return jax.tree.map(
@@ -217,7 +259,9 @@ class CheckpointManager:
         # bandwidth) owns distinct buffers that donation cannot touch;
         # the background thread then does the slow D2H + serialization
         # + atomic write while the train loop keeps dispatching.
-        snapshot = _device_snapshot(state)
+        # (Falls back to a synchronous host snapshot when HBM headroom
+        # can't hold a second copy of the state.)
+        snapshot = _snapshot_for_async_save(state)
         prev = self._pending.get(tag)
         if prev is not None:
             prev.join()

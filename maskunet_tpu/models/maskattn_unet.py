@@ -447,13 +447,19 @@ def calibrate_activation_scales(params: dict, forward, batches) -> dict:
         return (isinstance(node, dict) and "kernel" in node
                 and getattr(node["kernel"], "ndim", 0) == 4)
 
-    records: dict[int, float] = {}
+    # maxima accumulate as DEVICE scalars: float() here would block on a
+    # device->host round trip per conv per batch (~40 serial syncs per
+    # chunk — minutes of pure RTT through a remote-device link); the
+    # running-max updates dispatch asynchronously and one gather at the
+    # end fetches every conv's scalar together
+    records: dict[int, Any] = {}
     orig = layers.conv2d
 
     def recording_conv2d(p, x, **kw):
         if is_conv(p):
-            m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
-            records[id(p)] = max(records.get(id(p), 0.0), m)
+            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            prev = records.get(id(p))
+            records[id(p)] = m if prev is None else jnp.maximum(prev, m)
         return orig(p, x, **kw)
 
     layers.conv2d = recording_conv2d
@@ -462,6 +468,11 @@ def calibrate_activation_scales(params: dict, forward, batches) -> dict:
             forward(params, b)
     finally:
         layers.conv2d = orig
+    for v in records.values():
+        copy_async = getattr(v, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+    records = {k: float(v) for k, v in records.items()}
 
     if not records:
         raise RuntimeError(

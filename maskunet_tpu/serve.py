@@ -332,7 +332,8 @@ def build_model_runner(recipe, num_classes: int, workdir: str, tag: str,
     return runner, cfg.img_size
 
 
-def make_handler(batcher: _Batcher, img_size: int, num_classes: int):
+def make_handler(batcher: _Batcher, img_size: int, num_classes: int,
+                 draining: threading.Event | None = None):
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -341,6 +342,17 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int):
 
         def do_GET(self):
             if self.path == "/healthz":
+                if draining is not None and draining.is_set():
+                    # unhealthy-while-draining: load balancers stop
+                    # routing here while already-accepted (and
+                    # listen-backlog) requests still complete
+                    body = json.dumps({"status": "draining"}).encode()
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 body = json.dumps({"status": "ok",
                                    "img_size": img_size,
                                    "num_classes": num_classes}).encode()
@@ -490,19 +502,50 @@ def main(argv=None) -> int:
     # default listen backlog (5) refuses connections under bursty load
     # long before the batcher is saturated
     ThreadingHTTPServer.request_queue_size = 128
+    draining = threading.Event()
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
-        make_handler(batcher, img_size, num_classes))
+        make_handler(batcher, img_size, num_classes, draining=draining))
 
-    # graceful shutdown: SIGTERM/SIGINT stop accepting connections, then
-    # the in-flight batch queue drains (bounded) before exit — a fleet
-    # scheduler rotating serving tasks must not drop accepted requests
+    # graceful shutdown: SIGTERM/SIGINT flip /healthz to 503 (load
+    # balancers stop routing) but KEEP the accept loop alive while the
+    # drain runs — connections already completed in the kernel listen
+    # backlog (up to request_queue_size deep) still need to be accepted
+    # and answered; calling server.shutdown() first would RST them at
+    # server_close() while reporting a clean drain. Only after a
+    # sustained-quiet window (or the drain deadline) does the accept
+    # loop stop.
     import signal
 
+    def _drain_then_stop(signame: str) -> None:
+        print(json.dumps({"shutdown": signame}), flush=True)
+        deadline = time.monotonic() + args.drain_timeout_s
+        quiet = 0   # consecutive idle polls required: a connection can
+        # be accepted (or parked in the listen backlog) before its
+        # handler thread reaches track(), so a single pending()==0
+        # sample can race ahead of a request still being parsed —
+        # demand a short sustained-quiet window instead. Drain is
+        # measured on the handler-tracked in-flight count, not queue
+        # emptiness: the queue goes empty the moment the worker
+        # dequeues a batch, while its requests are still being
+        # computed and their responses written.
+        while time.monotonic() < deadline:
+            if batcher.pending() == 0:
+                quiet += 1
+                if quiet >= 10:   # 0.5 s of continuous quiet
+                    break
+            else:
+                quiet = 0
+            time.sleep(0.05)
+        server.shutdown()
+
     def _term(signum, frame):
-        print(json.dumps({"shutdown": signal.Signals(signum).name}),
-              flush=True)
-        threading.Thread(target=server.shutdown, daemon=True).start()
+        if draining.is_set():
+            return   # second signal: drain already in progress
+        draining.set()
+        threading.Thread(target=_drain_then_stop,
+                         args=(signal.Signals(signum).name,),
+                         daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
     signal.signal(signal.SIGINT, _term)
@@ -511,25 +554,6 @@ def main(argv=None) -> int:
                       "batch_size": batch, "img_size": img_size}),
           flush=True)
     server.serve_forever()
-    # drain on the handler-tracked in-flight count, not queue emptiness:
-    # the queue goes empty the moment the worker dequeues a batch, while
-    # its requests are still being computed and their responses written
-    # (all serving threads are daemons — exiting early would kill them
-    # mid-response while claiming a clean drain)
-    deadline = time.monotonic() + args.drain_timeout_s
-    quiet = 0   # consecutive idle polls required: a connection can be
-    # accepted (or parked in the listen backlog) before its handler
-    # thread reaches track(), so a single pending()==0 sample right
-    # after shutdown() can race ahead of a request that is still being
-    # parsed — demand a short sustained-quiet window instead
-    while time.monotonic() < deadline:
-        if batcher.pending() == 0:
-            quiet += 1
-            if quiet >= 10:   # 0.5 s of continuous quiet
-                break
-        else:
-            quiet = 0
-        time.sleep(0.05)
     server.server_close()
     print(json.dumps({"stopped": served,
                       "drained": batcher.pending() == 0}), flush=True)

@@ -312,6 +312,25 @@ def test_async_save_safe_under_donation(tmp_path):
         snapshot)
 
 
+def test_async_save_oom_falls_back_to_host_snapshot(tmp_path, monkeypatch):
+    """When the on-device snapshot cannot allocate (HBM near capacity a
+    second full state copy would OOM), the async save falls back to the
+    synchronous host snapshot instead of failing the save."""
+    cfg, task, tx, ts = _setup()
+
+    def exhausted(state):
+        raise RuntimeError("RESOURCE_EXHAUSTED: while allocating snapshot")
+
+    monkeypatch.setattr(checkpoint, "_device_snapshot", exhausted)
+    manager = checkpoint.CheckpointManager(str(tmp_path), "oomfb")
+    manager.save_latest(ts)
+    manager.wait()
+    restored = manager.restore(ts, "latest")
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["initial"]["conv1"]["kernel"]),
+        np.asarray(ts.params["initial"]["conv1"]["kernel"]))
+
+
 @pytest.mark.slow
 def test_grad_accum_matches_manual_average():
     """grad_accum=2 produces the average of the two microbatch gradients

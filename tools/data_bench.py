@@ -45,6 +45,11 @@ def main() -> None:
 
     ds = ADE20KSemanticDataset(root, "training", img_size=128)
     n = len(ds)
+    if n < batch:
+        raise SystemExit(
+            f"dataset at {root} has {n} images < batch {batch} "
+            "(drop_last=True yields zero batches); use a smaller batch "
+            "or point at a larger dataset")
     for threads in (1, 4, 8, 16):
         batches = pipeline.BatchIterator(ds, batch, shuffle=True, seed=0,
                                          drop_last=True,

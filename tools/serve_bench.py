@@ -131,14 +131,19 @@ def main() -> None:
     wall = max(walls)
     lat = np.sort(np.array(latencies))
     m = batcher.metrics()
+    # all-failure runs must still report the diagnostics that explain
+    # the outage (failed_requests, batch fill) instead of dying on an
+    # empty-percentile IndexError
     print(json.dumps({
         "requests": per * n_procs,
         "concurrency": conc * n_procs,
         "client_procs": n_procs,
         "req_per_sec": round(len(latencies) / wall, 1),
         "failed_requests": failed,
-        "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
-        "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 1),
+        "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1) if len(lat)
+        else None,
+        "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 1)
+        if len(lat) else None,
         "avg_batch_fill": round(m["avg_batch_fill"], 3),
         "model_ms_ema": m["run_ms_ema"],
     }))
