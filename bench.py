@@ -81,11 +81,18 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     float(forward(infer_params, x)[0, 0, 0, 0])
     for _ in range(warmup):
         float(forward(infer_params, x)[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = forward(infer_params, x)
-    float(out[0, 0, 0, 0])
-    infer_ips = batch * steps / (time.perf_counter() - t0)
+    # best of 3 timing windows: transient host/tunnel interference only
+    # ever slows a window down, so the fastest window is the least
+    # contaminated estimate of the chip's steady-state rate (run-to-run
+    # spread through the tunnel is ±10%)
+    infer_ips = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = forward(infer_params, x)
+        float(out[0, 0, 0, 0])
+        infer_ips = max(infer_ips,
+                        batch * steps / (time.perf_counter() - t0))
 
     # --- training ---
     tx = optax.adamw(5e-5, weight_decay=1e-1)
@@ -97,11 +104,14 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     batch_data = {"image": x, "label": labels}
     ts, m = train_step(ts, batch_data)
     float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        ts, m = train_step(ts, batch_data)
-    float(m["loss"])                       # fetch = reliable fence
-    train_ips = batch * steps / (time.perf_counter() - t0)
+    train_ips = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            ts, m = train_step(ts, batch_data)
+        float(m["loss"])                   # fetch = reliable fence
+        train_ips = max(train_ips,
+                        batch * steps / (time.perf_counter() - t0))
 
     return backend, infer_ips, train_ips
 
