@@ -430,12 +430,17 @@ def fold_bn_for_inference(params: dict, state: dict,
 
 def calibrate_activation_scales(params: dict, forward, batches) -> dict:
     """Record per-conv input absolute maxima by running the FOLDED float
-    model eagerly over calibration batches.
+    model over calibration batches.
 
-    `forward(params, x)` must call the model UN-jitted (the recorder
-    wraps `layers.conv2d` for the duration — a traced/jitted call would
-    bypass it after the first trace). Returns ``{"path/to/conv": max}``
-    for every 4-D conv, consumable by
+    `forward(params, x)` must call the model UN-jitted at the python
+    level (the recorder wraps `layers.conv2d`); the whole recorded
+    forward is then traced ONCE here and compiled — `params` is closed
+    over (not a jit argument) so the recorder's id-keyed node map
+    survives jit's pytree flatten/unflatten, and each calibration chunk
+    costs one compiled device step instead of an eager per-op dispatch
+    storm (~40 convs × per-op latency; measured minutes through a
+    remote-device tunnel, seconds compiled). Returns
+    ``{"path/to/conv": max}`` for every 4-D conv, consumable by
     `quantize_params_for_inference(act_scales=...)`: static activation
     scales drop the per-call max-reduce (and its fusion barrier) from the
     int8 serving path, at the standard PTQ risk that unseen activations
@@ -447,51 +452,59 @@ def calibrate_activation_scales(params: dict, forward, batches) -> dict:
         return (isinstance(node, dict) and "kernel" in node
                 and getattr(node["kernel"], "ndim", 0) == 4)
 
-    # maxima accumulate as DEVICE scalars: float() here would block on a
-    # device->host round trip per conv per batch (~40 serial syncs per
-    # chunk — minutes of pure RTT through a remote-device link); the
-    # running-max updates dispatch asynchronously and one gather at the
-    # end fetches every conv's scalar together
-    records: dict[int, Any] = {}
+    paths: dict[int, str] = {}
+
+    def index(node, path):
+        if is_conv(node):
+            paths[id(node)] = "/".join(path)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                index(v, path + (k,))
+
+    index(params, ())
     orig = layers.conv2d
 
-    def recording_conv2d(p, x, **kw):
-        if is_conv(p):
-            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            prev = records.get(id(p))
-            records[id(p)] = m if prev is None else jnp.maximum(prev, m)
-        return orig(p, x, **kw)
+    def recorded_step(chunk):
+        """Traced once: the forward with per-conv |input| maxima as
+        outputs. The conv2d monkeypatch is active only during tracing;
+        the compiled computation carries the max-reduces."""
+        local: dict[str, Any] = {}
 
-    layers.conv2d = recording_conv2d
-    try:
-        for b in batches:
-            forward(params, b)
-    finally:
-        layers.conv2d = orig
+        def recording_conv2d(p, x, **kw):
+            key = paths.get(id(p))
+            if key is not None:
+                m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                local[key] = (m if key not in local
+                              else jnp.maximum(local[key], m))
+            return orig(p, x, **kw)
+
+        layers.conv2d = recording_conv2d
+        try:
+            forward(params, chunk)
+        finally:
+            layers.conv2d = orig
+        return local
+
+    step = jax.jit(recorded_step)
+    records: dict[str, Any] = {}
+    for b in batches:
+        out = step(b)
+        for k, v in out.items():
+            records[k] = v if k not in records else jnp.maximum(
+                records[k], v)
+    # one gather for all convs at the end — no per-conv host syncs
     for v in records.values():
         copy_async = getattr(v, "copy_to_host_async", None)
         if copy_async is not None:
             copy_async()
-    records = {k: float(v) for k, v in records.items()}
+    scales = {k: float(v) for k, v in records.items()}
 
-    if not records:
+    if not scales:
         raise RuntimeError(
             "calibration recorded no conv activations — `forward` must "
-            "run the model eagerly (a jitted forward bypasses the "
-            "recorder after its first trace) and must execute at least "
-            "one conv")
-
-    scales: dict[str, float] = {}
-
-    def walk(node, path):
-        if is_conv(node):
-            if id(node) in records:
-                scales["/".join(path)] = records[id(node)]
-        elif isinstance(node, dict):
-            for k, v in node.items():
-                walk(v, path + (k,))
-
-    walk(params, ())
+            "call the model without its own jit wrapper (the recorder "
+            "monkeypatches layers.conv2d during the trace) and must "
+            "execute at least one conv")
     return scales
 
 

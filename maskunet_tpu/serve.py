@@ -249,7 +249,8 @@ def build_inference_fn(recipe, num_classes: int, workdir: str, tag: str,
             imgs = np.stack([cal_ds[i]["image"]
                              for i in range(len(cal_ds))])
 
-            def fwd_eager(p, chunk):   # eager: calibration wraps conv2d
+            def fwd_eager(p, chunk):   # un-jitted: calibration wraps
+                # conv2d and jits the recorded forward itself
                 mu.apply(p, None,
                          jnp.asarray(chunk, jnp.float32) / 255.0,
                          cfg=cfg, masks=ts.masks, train=False,
