@@ -51,7 +51,12 @@ def test_two_process_train_matches_single_process(tmp_path):
     base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     # fresh shared compile cache (the realistic pod setup): the user-level
     # ~/.cache may hold XLA:CPU AOT entries from a different machine whose
-    # ISA features mismatch — loading those poisons Gloo context setup
+    # ISA features mismatch — loading those poisons Gloo context setup.
+    # Deliberately NOT persisted across suite runs: a warm cache makes one
+    # process skip the ~2 min CPU compile while its peer still compiles,
+    # and the early process then blows Gloo's 30 s KeyValue rendezvous
+    # deadline (reproduced: DEADLINE_EXCEEDED GetKeyValue flake). A fresh
+    # cache keeps both processes compiling in lockstep.
     base_env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "xla-cache")
 
     def env_for(pid):
