@@ -38,7 +38,7 @@ def estimate_a100_baseline() -> float:
     return 130.0
 
 
-def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
+def bench(batch: int = 8, steps: int = 50, warmup: int = 2,
           compute_dtype: str = "bfloat16"):
     from maskunet_tpu.utils import compile_cache
     compile_cache.enable()
@@ -84,7 +84,10 @@ def bench(batch: int = 8, steps: int = 20, warmup: int = 2,
     # best of 3 timing windows: transient host/tunnel interference only
     # ever slows a window down, so the fastest window is the least
     # contaminated estimate of the chip's steady-state rate (run-to-run
-    # spread through the tunnel is ±10%)
+    # spread through the tunnel is ±10%). 50 steps/window amortizes the
+    # fixed per-window cost (the fence's host round trip + dispatch
+    # ramp) to <1% of the window — at 20 steps it biased the reported
+    # rate ~3% below the device-trace step rate (PERF.md).
     infer_ips = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
