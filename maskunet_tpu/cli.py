@@ -69,6 +69,11 @@ def main(argv=None) -> int:
                     help="raise on non-finite step metrics")
     tp.add_argument("--no-cache", action="store_true",
                     help="disable the in-RAM decoded-example cache")
+    tp.add_argument("--remat-attention", action="store_true",
+                    help="jax.checkpoint the attention blocks: recompute "
+                         "them in the backward instead of storing "
+                         "activations (HBM headroom for larger batches / "
+                         "resolutions; numerics are unchanged)")
     tp.add_argument("--grad-accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step "
                          "(effective batch = batch_size * grad_accum)")
@@ -217,7 +222,8 @@ def main(argv=None) -> int:
             recipe, args.data_root, args.workdir,
             max_steps=args.max_steps, max_epochs=args.max_epochs,
             mesh=mesh, attn_impl=args.attn_impl,
-            compute_dtype=args.compute_dtype, resume=args.resume,
+            compute_dtype=args.compute_dtype,
+            remat_attention=args.remat_attention, resume=args.resume,
             grad_accum=args.grad_accum,
             lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
             log_every=args.log_every, data_fraction=args.data_fraction,

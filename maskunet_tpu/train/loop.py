@@ -68,12 +68,14 @@ def make_optimizer(recipe: Recipe, *, lr_schedule: str | None = None,
 
 def model_config(recipe: Recipe, num_classes: int, *,
                  attn_impl: str = "auto",
-                 compute_dtype: str = "float32") -> model_lib.MaskAttnUNetConfig:
+                 compute_dtype: str = "float32",
+                 remat_attention: bool = False) -> model_lib.MaskAttnUNetConfig:
     return model_lib.MaskAttnUNetConfig(
         c_out=num_classes, img_size=recipe.img_size,
         embed_dim=recipe.embed_dim,
         with_boundary_head=recipe.with_boundary_head,
-        attn_impl=attn_impl, compute_dtype=compute_dtype)
+        attn_impl=attn_impl, compute_dtype=compute_dtype,
+        remat_attention=remat_attention)
 
 
 def setup_state(recipe: Recipe, cfg: model_lib.MaskAttnUNetConfig, tx,
@@ -89,7 +91,8 @@ def setup_state(recipe: Recipe, cfg: model_lib.MaskAttnUNetConfig, tx,
 def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           max_steps: int | None = None, max_epochs: int | None = None,
           mesh=None, attn_impl: str = "auto",
-          compute_dtype: str = "float32", resume: bool = False,
+          compute_dtype: str = "float32", remat_attention: bool = False,
+          resume: bool = False,
           grad_accum: int = 1,
           lr_schedule: str | None = None, warmup_steps: int = 0,
           log_every: int = 500, ckpt_every: int = 2000,
@@ -113,7 +116,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         train_ds = CachedDataset(train_ds)
         val_ds = CachedDataset(val_ds)
     cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       remat_attention=remat_attention)
     epochs_planned = max_epochs if max_epochs is not None else recipe.num_epochs
     steps_per_epoch = max(
         len(train_ds) // (recipe.batch_size * grad_accum), 1)

@@ -445,3 +445,23 @@ def test_train_step_with_mask_plans_matches(monkeypatch):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7),
         ts_a.params, ts_b.params)
+
+
+def test_remat_attention_identical_numerics():
+    """`remat_attention=True` (jax.checkpoint around the attention blocks,
+    maskattn_unet.py:304) trades backward-pass HBM for recompute FLOPs —
+    the loss and the updated params must be indistinguishable from the
+    stored-activation path."""
+    cfg_a = mu.MaskAttnUNetConfig(c_out=4, img_size=16, attn_impl="dense")
+    cfg_b = mu.MaskAttnUNetConfig(c_out=4, img_size=16, attn_impl="dense",
+                                  remat_attention=True)
+    _, task, tx, ts = _setup(cfg=cfg_a)
+    batch = _synthetic_batch(cfg_a)
+
+    ts_a, m_a = jax.jit(step_lib.make_train_step(cfg_a, task, tx))(ts, batch)
+    ts_b, m_b = jax.jit(step_lib.make_train_step(cfg_b, task, tx))(ts, batch)
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7),
+        ts_a.params, ts_b.params)
