@@ -213,6 +213,15 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.n_data is not None:
+        # DP preflight: the global batch is sharded over the data axis, so it
+        # must divide evenly — fail here with a one-line message instead of
+        # deep inside device_put (city_semantic/city_panoptic have batch 1).
+        if recipe.batch_size % args.n_data != 0:
+            print(f"error: recipe '{recipe.name}' batch_size="
+                  f"{recipe.batch_size} is not divisible by --n-data="
+                  f"{args.n_data}; pick --n-data that divides the batch "
+                  f"(or a recipe with a larger batch)", file=sys.stderr)
+            return 2
         from maskunet_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(n_data=args.n_data)
 

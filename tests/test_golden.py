@@ -36,8 +36,15 @@ def _forward():
 
 def test_forward_matches_golden():
     got = _forward()
-    if os.environ.get("REGEN_GOLDEN") or not os.path.exists(GOLDEN):
+    if os.environ.get("REGEN_GOLDEN"):
         np.savez_compressed(GOLDEN, **got)
+    elif not os.path.exists(GOLDEN):
+        # A missing golden must be a hard failure, not a silent re-baseline:
+        # a clean checkout / .gitignore accident would otherwise mask drift.
+        raise AssertionError(
+            f"golden file {GOLDEN} is missing — it is committed to the repo; "
+            f"restore it from git, or regenerate DELIBERATELY with "
+            f"REGEN_GOLDEN=1 after verifying the forward is correct")
     golden = np.load(GOLDEN)
     for key in ("semantic", "boundary", "embeddings"):
         np.testing.assert_allclose(

@@ -448,8 +448,9 @@ def test_train_step_with_mask_plans_matches(monkeypatch):
 
 
 def test_remat_attention_identical_numerics():
-    """`remat_attention=True` (jax.checkpoint around the attention blocks,
-    maskattn_unet.py:304) trades backward-pass HBM for recompute FLOPs —
+    """`remat_attention=True` (jax.checkpoint around the attn() wrapper in
+    maskattn_unet.apply, gated by cfg.remat_attention) trades backward-pass
+    HBM for recompute FLOPs —
     the loss and the updated params must be indistinguishable from the
     stored-activation path."""
     cfg_a = mu.MaskAttnUNetConfig(c_out=4, img_size=16, attn_impl="dense")
@@ -465,3 +466,14 @@ def test_remat_attention_identical_numerics():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7),
         ts_a.params, ts_b.params)
+
+
+def test_cli_dp_preflight_rejects_indivisible_batch(capsys):
+    """--n-data must divide the recipe batch (cli.py DP preflight): the
+    batch-1 recipes (city_semantic/city_panoptic, tasks/recipes.py) would
+    otherwise fail deep inside device_put with a shape error."""
+    from maskunet_tpu import cli
+    rc = cli.main(["train", "--recipe", "city_semantic", "--n-data", "8"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "batch_size=1" in err and "--n-data=8" in err

@@ -58,9 +58,12 @@ def _time(ts, step, batch, steps):
     return (time.perf_counter() - t0) / steps
 
 
-def _peak_hbm_mb():
+def _live_hbm_mb():
+    # bytes_in_use (live after the step), NOT peak_bytes_in_use: the peak
+    # counter is process-lifetime and never resets between modes/trials, so
+    # it would report the max over all earlier trials, not this one's.
     stats = jax.devices()[0].memory_stats() or {}
-    pk = stats.get("peak_bytes_in_use")
+    pk = stats.get("bytes_in_use")
     return pk / 1e6 if pk else None
 
 
@@ -87,7 +90,7 @@ def main() -> None:
     for _round in range(2):                      # interleave: warm both,
         for name in ("plain", "remat"):          # then measure both
             ts, step, b = res[name]
-            dt = _time(ts, step, batch, steps)
+            dt = _time(ts, step, b, steps)
             print(f"  {name:5s}: {dt * 1e3:7.2f} ms/step "
                   f"({batch / dt:6.1f} img/s)")
     del res
@@ -104,7 +107,7 @@ def main() -> None:
                 ts, step, b = _mk(cfg, b_try, seed=7)
                 ts, m = step(ts, b)
                 _ = float(m["loss"])
-                pk = _peak_hbm_mb()
+                pk = _live_hbm_mb()
                 fit = (b_try, pk)
                 del ts, step, b, m
             except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED
@@ -115,7 +118,7 @@ def main() -> None:
                 break
         if fit:
             b_ok, pk = fit
-            pk_s = f", peak {pk:.0f} MB" if pk else ""
+            pk_s = f", live {pk:.0f} MB after step" if pk else ""
             print(f"  {name:5s}: largest tried-and-fit batch {b_ok}{pk_s}")
 
 
