@@ -22,6 +22,13 @@ Faithful behavioral details kept on purpose:
 - Skip concat order is [skip, x] on the channel axis (ade_semantic.py:253).
 - The reference's dead `emb_layer`s (diffusion leftovers, never called,
   ade_semantic.py:222-225) are NOT reproduced.
+- The reference returns each attention block's [B, HW, C] output through a
+  raw `.view(B, C, H, W)` — a memory reinterpret that scrambles channels
+  across space (ade_semantic.py:190; all 9 scripts). The default here is
+  the intended transpose; set `attn_output_layout='literal_view'` to
+  reproduce the reference's shipped behavior bit-for-bit (required when
+  running torch-imported reference checkpoints faithfully). Discovered and
+  pinned by tests/test_literal_parity.py.
 
 The cityscapes-instance variant (city_instance.py:216-276) is covered by
 config flags: `embed_dim>0` adds the 16-d embedding head and
@@ -54,6 +61,16 @@ class MaskAttnUNetConfig:
     remat_attention: bool = False    # jax.checkpoint the attention blocks
                                      # (recompute in backward; trades FLOPs
                                      # for HBM at large batch)
+    attn_output_layout: str = "transpose"  # 'transpose' | 'literal_view'
+    # The reference reshapes its [B, HW, C] attention output back to
+    # [B, C, H, W] with a raw `.view(...)` — a memory REINTERPRET, not a
+    # transpose (ade_semantic.py:190; identical in all 9 scripts) — which
+    # scrambles channels across space after every attention block.
+    # 'transpose' (default) is the intended inverse of the input flatten;
+    # 'literal_view' reproduces the reference's shipped scramble bit-for-
+    # bit (use for lockstep parity and for running imported reference
+    # checkpoints faithfully). Verified against the literal classes in
+    # tests/test_literal_parity.py.
 
     @property
     def multi_head_output(self) -> bool:
@@ -300,7 +317,8 @@ def apply(params: dict, state: dict, x: jax.Array, *,
 
     def attn(i, h):
         fn = lambda p, x_, m, pl_: attention.spatial_attention(  # noqa: E731
-            p, x_, m, impl=impl, mesh=mesh, plan=pl_)
+            p, x_, m, impl=impl, mesh=mesh, plan=pl_,
+            output_layout=cfg.attn_output_layout)
         if cfg.remat_attention and train:
             fn = jax.checkpoint(fn)
         return fn(params[f"attn{i}"], h, masks[i - 1], plans[i - 1])

@@ -89,12 +89,19 @@ def masked_attention_dense(params: dict, tokens: jax.Array,
 def spatial_attention(params: dict, x: jax.Array,
                       key_mask: jax.Array | None, *,
                       impl: str = "dense", mesh=None,
-                      plan=None) -> jax.Array:
+                      plan=None,
+                      output_layout: str = "transpose") -> jax.Array:
     """Apply masked attention to an NHWC feature map (flatten -> attend ->
     unflatten), dispatching to the dense or Pallas implementation.
     `mesh` (flash only): batch-shard the Pallas kernel over the mesh's
     'data' axis via shard_map. `plan` (flash only): precomputed
-    `flash_attention.plan_compaction(key_mask)` for run-cached masks."""
+    `flash_attention.plan_compaction(key_mask)` for run-cached masks.
+
+    `output_layout`: how the [B, L, C] attention output maps back to a
+    feature map. 'transpose' is the intended inverse of the flatten;
+    'literal_view' reproduces the reference's raw NCHW `.view(B, C, H, W)`
+    memory reinterpret (ade_semantic.py:190) that scrambles channels
+    across space — see MaskAttnUNetConfig.attn_output_layout."""
     b, h, w, c = x.shape
     tokens = x.reshape(b, h * w, c)
     if impl == "flash":
@@ -104,4 +111,10 @@ def spatial_attention(params: dict, x: jax.Array,
                                                      plan=plan)
     else:
         out = masked_attention_dense(params, tokens, key_mask)
+    if output_layout == "literal_view":
+        # row-major [B, L, C] buffer relabeled [B, C, H, W], then back to
+        # our NHWC convention — bit-identical to the reference's .view()
+        return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    if output_layout != "transpose":
+        raise ValueError(f"unknown output_layout: {output_layout!r}")
     return out.reshape(b, h, w, c)

@@ -30,9 +30,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Inner-loop smoke tier (~70 s warm on a 1-core box): modules with no
+# full-model compile in them. `pytest --smoke` runs only these; the
+# default run is unchanged. Keep a module out of this list the moment it
+# gains a whole-UNet jit.
+SMOKE_MODULES = frozenset({
+    "test_rle", "test_metrics", "test_losses", "test_evaluation",
+    "test_data", "test_utils", "test_native", "test_layers",
+    "test_download", "test_task_evaluators", "test_coco_instance_eval",
+})
+
+
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
                      help="run tests marked @pytest.mark.slow")
+    parser.addoption("--smoke", action="store_true", default=False,
+                     help="run only the fast smoke tier (<2 min; "
+                          "no full-model compiles)")
 
 
 def pytest_configure(config):
@@ -40,9 +54,20 @@ def pytest_configure(config):
         "markers",
         "slow: long integration test, deselected by default "
         "(run with --runslow or -m slow)")
+    config.addinivalue_line(
+        "markers", "smoke: fast inner-loop tier (select with --smoke)")
 
 
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+    if config.getoption("--smoke"):
+        deselect = [i for i in items if "smoke" not in i.keywords]
+        keep = [i for i in items if "smoke" in i.keywords]
+        config.hook.pytest_deselected(items=deselect)
+        items[:] = keep
+        return
     if config.getoption("--runslow") or config.getoption("-m"):
         return
     skip = pytest.mark.skip(reason="slow (use --runslow or -m slow)")

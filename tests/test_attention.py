@@ -84,6 +84,29 @@ def test_dense_matches_torch():
         atol=1e-4, rtol=1e-4)
 
 
+def test_literal_view_output_layout():
+    """output_layout='literal_view' reproduces the reference's raw
+    .view(B, C, H, W) reinterpret of the [B, HW, C] attention output
+    (ade_semantic.py:190): the NHWC result, sent back to NCHW, must be
+    byte-identical to reshaping the token output's buffer directly."""
+    b, c, h, w = 2, 8, 4, 4
+    params, tokens, mask = _setup(b=b, l=h * w, c=c)
+    x = tokens.reshape(b, h, w, c)
+    tok_out = np.asarray(
+        attention.masked_attention_dense(params, tokens, mask))
+    lit = attention.spatial_attention(params, x, mask, impl="dense",
+                                      output_layout="literal_view")
+    np.testing.assert_array_equal(
+        np.asarray(lit).transpose(0, 3, 1, 2),       # NHWC -> NCHW
+        tok_out.reshape(b, c, h, w))                 # raw reinterpret
+    sane = attention.spatial_attention(params, x, mask, impl="dense")
+    assert np.abs(np.asarray(sane) - np.asarray(lit)).max() > 1e-3, \
+        "quirk must actually scramble (else the test proves nothing)"
+    with pytest.raises(ValueError):
+        attention.spatial_attention(params, x, mask, impl="dense",
+                                    output_layout="bogus")
+
+
 def test_mask_generation_stats():
     mask = attention.random_key_mask(jax.random.key(0), 4, 4096)
     frac = float(jnp.mean(mask))

@@ -4,8 +4,13 @@ This is a *test fixture only*: an independent implementation of the documented
 MaskAttn-UNet equations (ade_semantic.py:152-314 / city_instance.py:216-276)
 used to verify the JAX/Pallas implementation's numerics. Differences vs the
 reference by design: the attention mask is an injected boolean keep-mask
-(deterministic) instead of module-cached torch.randint, and the dead
-emb_layers are omitted.
+(deterministic) instead of module-cached torch.randint, the dead
+emb_layers are omitted, and the attention output is un-flattened with the
+intended permute+view — the reference's raw `.view(B, C, H, W)` reinterpret
+(ade_semantic.py:190) scrambles channels across space; that literal
+behavior is covered separately by tests/literal_reference.py +
+tests/test_literal_parity.py against the exec'd reference classes, with
+`attn_output_layout='literal_view'` on the JAX side.
 """
 
 import math

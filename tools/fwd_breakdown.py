@@ -54,7 +54,7 @@ def main() -> None:
     def make_fwd(mode):
         """mode: 'full' | 'noattn' | 'no16k' | 'no4k' | 'nosmall' |
         'dense_small' (dense for L<4096, flash above)."""
-        def patched(p, xx, km, *, impl="dense", mesh=None):
+        def patched(p, xx, km, **kw):
             l = xx.shape[1] * xx.shape[2]
             if mode == "noattn":
                 return xx
@@ -65,8 +65,10 @@ def main() -> None:
             if mode == "nosmall" and l < 4096:
                 return xx
             if mode == "dense_small" and l < 4096:
-                return orig(p, xx, km, impl="dense", mesh=mesh)
-            return orig(p, xx, km, impl=impl, mesh=mesh)
+                # dense path takes no flash-only plan
+                return orig(p, xx, km, **{**kw, "impl": "dense",
+                                          "plan": None})
+            return orig(p, xx, km, **kw)
 
         attention.spatial_attention = patched
         try:

@@ -45,7 +45,7 @@ def main() -> None:
     orig_gelu = layers.gelu
 
     def timed_step(mode):
-        def patched(p, xx, km, *, impl="dense", mesh=None):
+        def patched(p, xx, km, **kw):
             l = xx.shape[1] * xx.shape[2]
             if mode == "noattn":
                 return xx
@@ -53,7 +53,7 @@ def main() -> None:
                 return xx
             if mode == "no4k" and l == 4096:
                 return xx
-            return orig(p, xx, km, impl=impl, mesh=mesh)
+            return orig(p, xx, km, **kw)
 
         attention.spatial_attention = patched
         # numerics-changing ablations: cost probes only, never defaults

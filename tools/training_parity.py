@@ -19,6 +19,16 @@ comparison exercises identical math end-to-end.
 
     python tools/training_parity.py [steps] [img_size] [task ...]
     python tools/training_parity.py 100 32            # all four tasks
+
+--literal: train against the reference's LITERAL classes (exec'd from
+/root/reference/code via tests/literal_reference.py) instead of the
+transcribed oracle, with attn_output_layout='literal_view' on the JAX
+side so both reproduce the reference's raw .view(B,C,H,W) attention
+output reinterpret (ade_semantic.py:190). Supports 'semantic' (ade)
+and 'embed' (city_instance 3-head). This is the epistemic backstop for
+every oracle-based number in PARITY.md.
+
+    python tools/training_parity.py 100 16 semantic embed --literal
 """
 
 from __future__ import annotations
@@ -33,7 +43,10 @@ sys.path.insert(0, os.path.join(
 TASKS = ("semantic", "summed", "panoptic", "embed")
 
 
-def run_task(task_name: str, steps: int, img: int) -> float:
+def run_task(task_name: str, steps: int, img: int,
+             literal: bool = False) -> float:
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,11 +64,13 @@ def run_task(task_name: str, steps: int, img: int) -> float:
     ignore = 255 if task_name == "embed" else None
     tri_w = {"panoptic": 0.1, "embed": 0.5}.get(task_name, 0.0)
     ce_w = 0.9 if task_name == "panoptic" else 1.0
+    if literal and task_name not in ("semantic", "embed"):
+        raise SystemExit(f"--literal supports semantic/embed, not {task_name}")
 
-    cfg = mu.MaskAttnUNetConfig(c_out=c_out, img_size=img,
-                                dropout_rate=0.0, attn_impl="dense",
-                                embed_dim=embed,
-                                with_boundary_head=embed > 0)
+    cfg = mu.MaskAttnUNetConfig(
+        c_out=c_out, img_size=img, dropout_rate=0.0, attn_impl="dense",
+        embed_dim=embed, with_boundary_head=embed > 0,
+        attn_output_layout="literal_view" if literal else "transpose")
     task = step_lib.TaskConfig(
         ce_weight=ce_w, triplet_weight=tri_w,
         triplet_features="embeddings" if embed else "logits",
@@ -65,11 +80,26 @@ def run_task(task_name: str, steps: int, img: int) -> float:
     masks = mu.make_attention_masks(jax.random.key(1), batch, img)
     masks = tuple(m.at[..., 0].set(True) for m in masks)  # oracle NaN guard
 
-    oracle = OracleUNet(3, c_out, img, embed_dim=embed,
-                        boundary=embed > 0)
-    load_params(oracle, jax.tree.map(np.asarray, params))
+    if literal:
+        import literal_reference as lit
+        oracle = lit.make_literal_unet("city" if embed else "ade",
+                                       c_out, img,
+                                       jax.tree.map(np.asarray, params))
+        # dead emb_layers exist only in the literal classes; freeze them
+        # so AdamW weight decay doesn't touch params with no JAX twin
+        for name, p in oracle.named_parameters():
+            if "emb_layer" in name:
+                p.requires_grad_(False)
+        mask_ctx = lit.inject_masks([np.asarray(m) for m in masks])
+    else:
+        oracle = OracleUNet(3, c_out, img, embed_dim=embed,
+                            boundary=embed > 0)
+        load_params(oracle, jax.tree.map(np.asarray, params))
+        mask_ctx = contextlib.nullcontext()
     oracle.train(True)
-    opt = torch.optim.AdamW(oracle.parameters(), lr=lr, weight_decay=wd)
+    opt = torch.optim.AdamW(
+        [p for p in oracle.parameters() if p.requires_grad],
+        lr=lr, weight_decay=wd)
     criterion = torch.nn.CrossEntropyLoss(
         ignore_index=ignore if ignore is not None else -100)
     t_masks = [torch.from_numpy(np.asarray(m)) for m in masks]
@@ -99,6 +129,8 @@ def run_task(task_name: str, steps: int, img: int) -> float:
     max_rel = 0.0
     jax_hist: list[float] = []
     torch_hist: list[float] = []
+    stack = contextlib.ExitStack()
+    stack.enter_context(mask_ctx)  # literal: 1st forward consumes the queue
     for i in range(steps):
         x = rng.standard_normal((batch, img, img, 3)).astype(np.float32)
         if task_name == "summed":
@@ -126,7 +158,8 @@ def run_task(task_name: str, steps: int, img: int) -> float:
         jax_loss = float(metrics["loss"])
 
         opt.zero_grad()
-        out = oracle(torch.from_numpy(x).permute(0, 3, 1, 2), t_masks)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        out = oracle(xt) if literal else oracle(xt, t_masks)
         if embed:
             sem, _, emb_t = out
         else:
@@ -156,6 +189,7 @@ def run_task(task_name: str, steps: int, img: int) -> float:
     # triplet relu kinks — the per-step diffs oscillate in sign); the
     # meaningful parity statement is trajectory-level: both runs settle
     # at the same loss. Compare the mean over the last fifth of steps.
+    stack.close()    # restore torch.randint before the next task
     tail = max(1, steps // 5)
     jm = float(np.mean(jax_hist[-tail:]))
     tm = float(np.mean(torch_hist[-tail:]))
@@ -170,13 +204,16 @@ def main() -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    img = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    tasks = sys.argv[3:] or list(TASKS)
+    argv = [a for a in sys.argv[1:] if a != "--literal"]
+    literal = "--literal" in sys.argv[1:]
+    steps = int(argv[0]) if len(argv) > 0 else 20
+    img = int(argv[1]) if len(argv) > 1 else 16
+    tasks = argv[2:] or (["semantic", "embed"] if literal else list(TASKS))
     worst = {}
     for t in tasks:
-        worst[t] = run_task(t, steps, img)
-    print("\nsummary (trajectory rel):",
+        worst[t] = run_task(t, steps, img, literal=literal)
+    print(f"\nsummary vs {'LITERAL reference' if literal else 'oracle'} "
+          "(trajectory rel):",
           {k: f"{v:.2e}" for k, v in worst.items()})
     if max(worst.values()) > 0.02:
         raise SystemExit("training dynamics diverged beyond 2%")
