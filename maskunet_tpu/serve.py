@@ -338,6 +338,14 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int,
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: a client reusing its connection skips the
+        # TCP handshake AND the thread spawn per request (ThreadingHTTP-
+        # Server starts one thread per CONNECTION) — on a small host the
+        # per-request setup otherwise rivals the model time. Safe because
+        # every response path below sends Content-Length (send_error
+        # does too).
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet
             pass
 
@@ -371,7 +379,7 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int,
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path.split("?", 1)[0] != "/predict":
                 self.send_error(404)
                 return
             with batcher.track():
@@ -396,10 +404,18 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int,
             except RuntimeError as e:
                 self.send_error(500, str(e))
                 return
-            ok, png = cv2.imencode(".png", mask)
-            body = png.tobytes()
+            if "format=raw" in self.path:
+                # raw row-major uint8 class ids, [img_size, img_size]:
+                # skips the PNG encode (host CPU, not model, bounds a
+                # loaded 1-core server — see PERF.md serving breakdown)
+                body = mask.tobytes()
+                ctype = "application/octet-stream"
+            else:
+                ok, png = cv2.imencode(".png", mask)
+                body = png.tobytes()
+                ctype = "image/png"
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -69,6 +69,48 @@ def test_predict_concurrent_batching(server):
     assert all(m.shape == (32, 32) for m in masks)
 
 
+def test_predict_raw_format(server):
+    """?format=raw returns the class map as raw uint8 bytes (no PNG
+    encode — the cheap path for throughput-bound callers), identical to
+    the PNG-decoded mask for the same payload."""
+    img = np.random.default_rng(2).integers(
+        0, 255, (40, 40, 3)).astype(np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    png_mask = _png_mask(server, jpg.tobytes())
+    req = urllib.request.Request(server + "/predict?format=raw",
+                                 data=jpg.tobytes(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        raw = np.frombuffer(r.read(), np.uint8).reshape(32, 32)
+    np.testing.assert_array_equal(raw, png_mask)
+
+
+def test_keepalive_connection_reuse(server):
+    """The handler speaks HTTP/1.1 keep-alive: two requests down ONE
+    persistent connection both succeed (per-request TCP+thread setup is
+    what capped the old req/s on small hosts)."""
+    import http.client
+    import urllib.parse
+
+    img = np.random.default_rng(4).integers(
+        0, 255, (32, 32, 3)).astype(np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    conn = http.client.HTTPConnection(
+        urllib.parse.urlparse(server).netloc, timeout=120)
+    try:
+        sock_id = None
+        for _ in range(2):
+            conn.request("POST", "/predict", body=jpg.tobytes())
+            r = conn.getresponse()
+            assert r.status == 200
+            r.read()
+            this_sock = id(conn.sock)
+            assert sock_id in (None, this_sock), "connection was re-made"
+            sock_id = this_sock
+    finally:
+        conn.close()
+
+
 def test_predict_rejects_garbage(server):
     req = urllib.request.Request(server + "/predict", data=b"junk",
                                  method="POST")

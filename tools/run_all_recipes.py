@@ -57,8 +57,12 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
         res = loop.train(rec, data_root, workdir, max_epochs=epochs,
                          log_every=0, verbose=False,
                          compute_dtype="bfloat16")
+        traj = [round(h["loss"], 4) for h in res.history]
         out = {
             "recipe": name,
+            "lr": rec.lr, "weight_decay": rec.weight_decay,
+            "loss_trajectory": traj,
+            "loss_decreased": traj[-1] < traj[0],
             "train_loss": round(res.history[-1]["loss"], 4),
             "train_miou": round(res.history[-1]["miou"], 4),
             # compile-dominated short-run loop rate; NOT comparable to

@@ -24,11 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def client(url: str, n_requests: int, concurrency: int) -> None:
-    """Load-generator subprocess: POST loop, latencies JSON to stdout."""
+def client(url: str, n_requests: int, concurrency: int,
+           raw: bool = False) -> None:
+    """Load-generator subprocess: POST loop, latencies JSON to stdout.
+
+    Uses one persistent HTTP/1.1 connection per worker thread — the
+    realistic production pattern (and what the server's keep-alive
+    support is for); a fresh TCP connection per request re-measures
+    kernel connection setup, not the serving stack."""
     import concurrent.futures
-    import urllib.error
-    import urllib.request
+    import http.client
+    import urllib.parse
 
     import cv2
 
@@ -39,28 +45,35 @@ def client(url: str, n_requests: int, concurrency: int) -> None:
         ok, jpg = cv2.imencode(".jpg", img)
         payloads.append(jpg.tobytes())
 
+    netloc = urllib.parse.urlparse(url).netloc
+    path = "/predict" + ("?format=raw" if raw else "")
+    local = threading.local()
     latencies = []
     failures = [0]
     lock = threading.Lock()
 
     def post(i):
-        req = urllib.request.Request(url + "/predict",
-                                     data=payloads[i % len(payloads)],
-                                     method="POST")
         t0 = time.perf_counter()
         for attempt in range(3):   # kernel may refuse past the backlog
+            conn = getattr(local, "conn", None)
             try:
-                with urllib.request.urlopen(req, timeout=120) as r:
-                    r.read()
+                if conn is None:
+                    conn = local.conn = http.client.HTTPConnection(
+                        netloc, timeout=120)
+                conn.request("POST", path, body=payloads[i % len(payloads)])
+                r = conn.getresponse()
+                r.read()
+                if r.status >= 500:
+                    # a 5xx (shed/timeout) is a RESULT, not a harness
+                    # error: count it and keep the run alive
+                    with lock:
+                        failures[0] += 1
+                    return
                 break
-            except urllib.error.HTTPError:
-                # a 5xx (shed/timeout) is a RESULT, not a harness error:
-                # count it and keep the run alive (HTTPError is an
-                # OSError subclass — must be caught before the retry arm)
-                with lock:
-                    failures[0] += 1
-                return
-            except (ConnectionError, OSError):
+            except (ConnectionError, OSError, http.client.HTTPException):
+                local.conn = None
+                if conn is not None:
+                    conn.close()
                 if attempt == 2:
                     with lock:
                         failures[0] += 1
@@ -82,7 +95,8 @@ def client(url: str, n_requests: int, concurrency: int) -> None:
 
 def main() -> None:
     if sys.argv[1:2] == ["--client"]:
-        client(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        client(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+               raw="--raw" in sys.argv)
         return
 
     from maskunet_tpu.utils import compile_cache
@@ -91,9 +105,11 @@ def main() -> None:
     from maskunet_tpu import serve
     from maskunet_tpu.tasks import recipes as recipes_lib
 
-    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    n_procs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    raw = "--raw" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--raw"]
+    n_requests = int(argv[0]) if len(argv) > 0 else 400
+    concurrency = int(argv[1]) if len(argv) > 1 else 16
+    n_procs = int(argv[2]) if len(argv) > 2 else 4
 
     rec = recipes_lib.get("ade_semantic")
     runner, img_size = serve.build_model_runner(
@@ -111,7 +127,7 @@ def main() -> None:
     conc = max(concurrency // n_procs, 1)
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--client", url,
-         str(per), str(conc)],
+         str(per), str(conc)] + (["--raw"] if raw else []),
         stdout=subprocess.PIPE, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
         for _ in range(n_procs)]
@@ -138,6 +154,7 @@ def main() -> None:
         "requests": per * n_procs,
         "concurrency": conc * n_procs,
         "client_procs": n_procs,
+        "response_format": "raw" if raw else "png",
         "req_per_sec": round(len(latencies) / wall, 1),
         "failed_requests": failed,
         "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1) if len(lat)
