@@ -34,6 +34,18 @@ def estimate_a100_baseline() -> float:
     QKV/PV matmuls ~0.5 ms. Total ~3.6 ms/img -> ~280 img/s theoretical;
     eager-mode kernel-launch overhead and the reference's unfused python
     module graph roughly halve that in practice -> ~130 img/s.
+
+    FLOPs-based crosscheck (independent of the traffic estimate, using
+    tools/mfu_report.py's exact accounting): the reference's dense
+    forward is 51.7 G conv + 84.8 G attention = 136.5 GFLOPs/img. Under
+    torch 1.13 defaults (requirement.txt:286) the attention matmuls run
+    fp32 on CUDA cores (matmul TF32 is off by default since torch 1.12)
+    at A100's 19.5 TF/s -> 4.35 ms/img; convs run cuDNN-TF32 at <=156
+    TF/s -> >=0.33 ms. Compute alone therefore CEILINGS eager A100
+    inference at ~215 img/s before any bandwidth or launch overhead —
+    so the true number lies in [bandwidth-and-overhead ~130, compute
+    ceiling ~215]. vs_baseline uses 130; even against the most generous
+    215 ceiling the measured TPU rate stays >3x.
     """
     return 130.0
 

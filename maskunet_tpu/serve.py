@@ -30,7 +30,7 @@ class _Batcher:
     """Micro-batching executor: blocks callers until their result is ready."""
 
     def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 10.0,
-                 predict_timeout_s: float = 300.0):
+                 predict_timeout_s: float = 300.0, pipeline_depth: int = 3):
         self._run = run_batch
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
@@ -45,8 +45,20 @@ class _Batcher:
         self._inflight = 0
         self.stats = {"requests": 0, "errors": 0, "batches": 0,
                       "batched_images": 0, "shed": 0, "run_ms_ema": 0.0}
+        # dispatched-but-unfetched batches ride this bounded queue to a
+        # dedicated resolver thread: the worker keeps assembling and
+        # dispatching while up to `pipeline_depth` batches' device
+        # results are still in flight. On a remote/tunneled chip the
+        # blocking result fetch costs a full RTT (~3x the batch compute,
+        # tools/serve_breakdown.py) — a one-deep pipeline left the chip
+        # idle most of that; put() blocking when full is the
+        # backpressure that bounds result-buffer memory.
+        self._resolve_q: queue.Queue = queue.Queue(max(1, pipeline_depth))
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True)
+        self._resolver.start()
 
     @contextlib.contextmanager
     def track(self):
@@ -88,19 +100,14 @@ class _Batcher:
         return slot["result"]
 
     def _worker(self) -> None:
-        # One-batch-deep pipeline: JAX dispatch is async, so batch N's
-        # device execution (and, through a remote-device tunnel, its
-        # round-trip latency) overlaps batch N+1's assembly + dispatch.
-        # The blocking result fetch happens in _resolve, AFTER the next
-        # batch is in flight — under load this roughly doubles
-        # throughput; an idle queue resolves immediately, so lone
+        # Dispatch loop: assembles batches and hands the (async) device
+        # results to the resolver thread via the bounded _resolve_q. The
+        # worker never blocks on a device fetch, so batch N's round-trip
+        # latency (dominant through a remote-device tunnel) overlaps the
+        # assembly AND device compute of the next `pipeline_depth`
+        # batches; an idle queue still resolves immediately, so lone
         # requests pay no extra latency.
-        pending = None   # (preds, items, t0) dispatched but not fetched
         while True:
-            if pending is not None and self._q.empty():
-                self._resolve(pending)
-                pending = None
-                continue
             first = self._q.get()
             items = [first]
             deadline = time.monotonic() + self.max_wait
@@ -139,9 +146,11 @@ class _Batcher:
                     self.stats["batches"] += 1
                     self.stats["batched_images"] += len(items)
                 continue
-            if pending is not None:
-                self._resolve(pending)
-            pending = (preds, items, t0)
+            self._resolve_q.put((preds, items, t0))   # blocks when full
+
+    def _resolve_loop(self) -> None:
+        while True:
+            self._resolve(self._resolve_q.get())
 
     def _resolve(self, entry) -> None:
         """Fetch a dispatched batch's results and wake its callers."""
@@ -439,6 +448,10 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8799)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--pipeline-depth", type=int, default=3,
+                    help="dispatched-but-unfetched batches kept in "
+                         "flight; hides the device->host result round "
+                         "trip (raise on high-latency links)")
     ap.add_argument("--predict-timeout-s", type=float, default=300.0,
                     help="per-request wall clock before a 503")
     ap.add_argument("--drain-timeout-s", type=float, default=10.0,
@@ -514,7 +527,8 @@ def main(argv=None) -> int:
     # warm the compile before accepting traffic
     runner(np.zeros((batch, img_size, img_size, 3), np.uint8))
     batcher = _Batcher(runner, batch, args.max_wait_ms,
-                       predict_timeout_s=args.predict_timeout_s)
+                       predict_timeout_s=args.predict_timeout_s,
+                       pipeline_depth=args.pipeline_depth)
 
     # default listen backlog (5) refuses connections under bursty load
     # long before the batcher is saturated

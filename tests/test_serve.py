@@ -266,9 +266,11 @@ def test_batcher_survives_malformed_request():
     slots = [({}, threading_mod.Event()) for _ in range(2)]
     batcher._q.put((good, *slots[0]))
     batcher._q.put((bad, *slots[1]))
+    batcher._resolve_q = queue_mod.Queue(3)
     batcher._thread = threading_mod.Thread(target=batcher._worker,
                                            daemon=True)
     batcher._thread.start()
+    threading_mod.Thread(target=batcher._resolve_loop, daemon=True).start()
     for slot, done in slots:
         assert done.wait(30)
         assert "error" in slot              # the whole batch failed loud
@@ -320,9 +322,11 @@ def test_batcher_sheds_abandoned_requests():
     live_slot, live_done = {}, threading_mod.Event()
     batcher._q.put((img, dead_slot, dead_done))
     batcher._q.put((img, live_slot, live_done))
+    batcher._resolve_q = queue_mod.Queue(3)
     batcher._thread = threading_mod.Thread(target=batcher._worker,
                                            daemon=True)
     batcher._thread.start()
+    threading_mod.Thread(target=batcher._resolve_loop, daemon=True).start()
     assert live_done.wait(30)
     assert "result" in live_slot
     assert not dead_done.is_set()           # never processed
@@ -352,9 +356,11 @@ def test_batcher_pipeline_keeps_results_per_request():
     batcher._lock = threading_mod.Lock()
     batcher.stats = {"requests": 0, "errors": 0, "batches": 0,
                      "batched_images": 0, "shed": 0, "run_ms_ema": 0.0}
+    batcher._resolve_q = queue_mod.Queue(3)
     batcher._thread = threading_mod.Thread(target=batcher._worker,
                                            daemon=True)
     batcher._thread.start()
+    threading_mod.Thread(target=batcher._resolve_loop, daemon=True).start()
 
     n = 9                               # odd: exercises a padded batch
     results = [None] * n
