@@ -38,6 +38,7 @@ SMOKE_MODULES = frozenset({
     "test_rle", "test_metrics", "test_losses", "test_evaluation",
     "test_data", "test_utils", "test_native", "test_layers",
     "test_download", "test_task_evaluators", "test_coco_instance_eval",
+    "test_e2e_artifacts",
 })
 
 

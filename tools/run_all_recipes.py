@@ -93,6 +93,16 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
                 rec, data_root, res.state, max_queries=(q,),
                 max_batches=eval_batches)
             out["ap"] = round(inst[q]["AP"], 4)
+            if name == "coco_instance":
+                # the gate ASSERTS (not skips) the documented degenerate
+                # recipe: summed-target classes are overlap counts
+                # (reference coco_instance.py:331-341), so AP is
+                # class-agnostic and structurally degenerate — PARITY.md
+                # §2.4. --require-nonzero still demands it be recorded
+                # and > 0 through the full RLE/COCOeval path.
+                out["ap_note"] = ("class-agnostic AP over summed-target "
+                                  "maps; degenerate by reference design "
+                                  "(PARITY.md §2.4)")
         return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
