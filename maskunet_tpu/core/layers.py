@@ -236,18 +236,29 @@ def upsample_2x_bilinear(x: jax.Array) -> jax.Array:
 
 
 def dropout(x: jax.Array, *, rate: float, rng: jax.Array | None,
-            train: bool) -> jax.Array:
+            train: bool, keep_mask: jax.Array | None = None) -> jax.Array:
     """Inverted dropout (ade_semantic.py:304-307 uses rate 0.3).
 
     Uses the hardware RNG primitive (`lax.rng_bit_generator`) instead of
     counter-based threefry: threefry bit generation cost ~0.7 ms/step at
     this model's dropout shapes (train_breakdown r3) while the RBG path
     is near-free. Still deterministic per `rng` key (the key data seeds
-    the generator); dropout streams are not parity-locked to anything."""
+    the generator); dropout streams are not parity-locked to anything.
+
+    `keep_mask`: precomputed boolean keep mask (see `dropout_keep_mask`),
+    used instead of drawing bits from `rng` — the pipeline-parallel
+    executor draws masks outside its stage dispatch so no RNG value
+    crosses the cond boundary."""
     if not train or rate == 0.0:
         return x
+    keep = dropout_keep_mask(rng, rate, x.shape) if keep_mask is None \
+        else keep_mask
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+
+def dropout_keep_mask(rng: jax.Array, rate: float, shape) -> jax.Array:
+    """Boolean keep mask for `dropout` (True = keep), RBG-based."""
     kd = jax.random.key_data(rng).astype(jnp.uint32).reshape(-1)
     seed = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])[:4]
-    _, bits = jax.lax.rng_bit_generator(seed, x.shape, dtype=jnp.uint32)
-    keep = bits >= jnp.uint32(max(round(rate * 2**32), 1))
-    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+    _, bits = jax.lax.rng_bit_generator(seed, shape, dtype=jnp.uint32)
+    return bits >= jnp.uint32(max(round(rate * 2**32), 1))

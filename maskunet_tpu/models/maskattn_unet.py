@@ -292,19 +292,19 @@ def apply(params: dict, state: dict, x: jax.Array, *,
     `fold_bn_for_inference` (every BatchNorm affine pre-folded into its
     conv), so all BN ops are skipped; `state` may be None.
     """
-    if folded and train:
-        raise ValueError("folded params are eval-only")
+    skips, enc_state = encode(params, state, x, cfg=cfg, masks=masks,
+                              train=train, mesh=mesh, folded=folded,
+                              mask_plans=mask_plans)
+    out, dec_state = decode(params, state, skips, cfg=cfg, masks=masks,
+                            train=train, dropout_rng=dropout_rng, mesh=mesh,
+                            folded=folded, mask_plans=mask_plans)
+    return out, {**enc_state, **dec_state}
+
+
+def _fwd_ctx(params, masks, mask_plans, *, cfg, mesh, train):
+    """Shared closures for the two forward stages (attention + TP seam)."""
     impl = cfg.resolve_attn_impl()
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    x = x.astype(dtype)
-    new_state = {}
-    masks = masks if masks is not None else (None,) * 6
-    if train and cfg.dropout_rate > 0:
-        if dropout_rng is None:
-            raise ValueError("dropout_rng required when train=True")
-        drop_rngs = jax.random.split(dropout_rng, 2)
-    else:
-        drop_rngs = (None, None)
+    plans = mask_plans if mask_plans is not None else (None,) * len(masks)
 
     def constrain(h, spec_channels_tp=False):
         if mesh is None:
@@ -313,8 +313,6 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         spec = P("data", None, None, "model" if spec_channels_tp else None)
         return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, spec))
 
-    plans = mask_plans if mask_plans is not None else (None,) * len(masks)
-
     def attn(i, h):
         fn = lambda p, x_, m, pl_: attention.spatial_attention(  # noqa: E731
             p, x_, m, impl=impl, mesh=mesh, plan=pl_,
@@ -322,6 +320,34 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         if cfg.remat_attention and train:
             fn = jax.checkpoint(fn)
         return fn(params[f"attn{i}"], h, masks[i - 1], plans[i - 1])
+
+    return constrain, attn
+
+
+def encode(params: dict, state: dict, x: jax.Array, *,
+           cfg: MaskAttnUNetConfig,
+           masks: tuple[jax.Array, ...] | None = None,
+           train: bool = False,
+           mesh=None,
+           folded: bool = False,
+           mask_plans: tuple | None = None):
+    """Encoder stage: initial conv, down1-3 + attn1-3, bottleneck.
+
+    First half of `apply` (reference topology ade_semantic.py:289-301);
+    split out so the pipeline-parallel executor (`parallel/pipeline.py`)
+    can place it on its own pipeline stage. Returns
+    ((x1, x2, x3, x4), new_state_subset): the three skip activations plus
+    the bottleneck output — exactly the tensors that cross the
+    encoder/decoder seam.
+    """
+    if folded and train:
+        raise ValueError("folded params are eval-only")
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = x.astype(dtype)
+    new_state = {}
+    masks = masks if masks is not None else (None,) * 6
+    constrain, attn = _fwd_ctx(params, masks, mask_plans, cfg=cfg,
+                               mesh=mesh, train=train)
 
     sget = (lambda k: None) if folded else (lambda k: state[k])
     x1, new_state["initial"] = _convblock(
@@ -344,13 +370,52 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         # TP seam: shard the 512-wide bottleneck channels over 'model'
         x4 = constrain(x4, spec_channels_tp=(i < 3))
 
+    return (x1, x2, x3, x4), new_state
+
+
+def decode(params: dict, state: dict, skips, *,
+           cfg: MaskAttnUNetConfig,
+           masks: tuple[jax.Array, ...] | None = None,
+           train: bool = False,
+           dropout_rng: jax.Array | None = None,
+           mesh=None,
+           folded: bool = False,
+           mask_plans: tuple | None = None,
+           dropout_masks: tuple | None = None) -> tuple[ModelOutput, dict]:
+    """Decoder stage: up1-3 + attn4-6 + dropout, final norm, head(s).
+
+    Second half of `apply` (reference topology ade_semantic.py:303-313);
+    consumes the `(x1, x2, x3, x4)` skips produced by `encode`.
+
+    `dropout_masks`: optional pair of precomputed boolean keep masks
+    (shapes from `decoder_dropout_shapes`) replacing in-graph RNG — the
+    pipeline executor draws them outside its stage dispatch.
+    """
+    if folded and train:
+        raise ValueError("folded params are eval-only")
+    x1, x2, x3, x4 = skips
+    new_state = {}
+    masks = masks if masks is not None else (None,) * 6
+    keep_masks = dropout_masks if dropout_masks is not None else (None, None)
+    if (train and cfg.dropout_rate > 0 and dropout_masks is None):
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when train=True")
+        drop_rngs = jax.random.split(dropout_rng, 2)
+    else:
+        drop_rngs = (None, None)
+    _, attn = _fwd_ctx(params, masks, mask_plans, cfg=cfg,
+                       mesh=mesh, train=train)
+    sget = (lambda k: None) if folded else (lambda k: state[k])
+
     h, new_state["up1"] = _up(params["up1"], sget("up1"), x4, x3,
                               train=train, folded=folded)
-    h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[0], train=train)
+    h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[0],
+                       train=train, keep_mask=keep_masks[0])
     h = attn(4, h)
     h, new_state["up2"] = _up(params["up2"], sget("up2"), h, x2,
                               train=train, folded=folded)
-    h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[1], train=train)
+    h = layers.dropout(h, rate=cfg.dropout_rate, rng=drop_rngs[1],
+                       train=train, keep_mask=keep_masks[1])
     h = attn(5, h)
     h, new_state["up3"] = _up(params["up3"], sget("up3"), h, x1,
                               train=train, folded=folded)
@@ -379,6 +444,14 @@ def apply(params: dict, state: dict, x: jax.Array, *,
         boundary = layers.conv2d(params["boundary_conv2"], b)
 
     return ModelOutput(sem, boundary, embeddings), new_state
+
+
+def decoder_dropout_shapes(cfg: MaskAttnUNetConfig,
+                           batch: int) -> tuple[tuple, tuple]:
+    """Shapes of the two decoder dropout sites (after up1 and up2) for
+    precomputed keep masks (`decode(..., dropout_masks=...)`)."""
+    n = cfg.img_size
+    return ((batch, n // 4, n // 4, 128), (batch, n // 2, n // 2, 64))
 
 
 def param_count(params: dict) -> int:

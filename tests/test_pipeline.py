@@ -1,0 +1,108 @@
+"""Pipeline parallelism (parallel/pipeline.py): 2-stage GPipe executor.
+
+Parity contract: the pipelined schedule must equal the SEQUENTIAL
+per-microbatch loop (state threaded in microbatch order) exactly — same
+forward outputs, same BatchNorm state evolution, same gradients. That
+loop is also the semantics of the grad-accum path (train/step.py), so PP
+composes with the rest of the training stack. Runs on the suite's
+8-device virtual CPU mesh (conftest).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maskunet_tpu.models import maskattn_unet as mu
+from maskunet_tpu.parallel import pipeline as pp
+
+M, MB, IMG, COUT = 3, 2, 16, 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = mu.MaskAttnUNetConfig(c_out=COUT, img_size=IMG, dropout_rate=0.0,
+                                attn_impl="dense")
+    params, state = mu.init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (M * MB, IMG, IMG, 3))
+    masks = mu.make_attention_masks(jax.random.key(2), MB, IMG)
+    mesh = pp.make_pipe_mesh()
+    xm = pp.split_microbatches(x, M)
+    return cfg, params, state, masks, mesh, xm
+
+
+def _sequential(params, state, xm, cfg, masks, train):
+    st = state
+    outs = []
+    for i in range(M):
+        o, st = mu.apply(params, st, xm[i], cfg=cfg, masks=masks,
+                         train=train)
+        outs.append(o.semantic)
+    return jnp.stack(outs), st
+
+
+def test_pipeline_eval_forward_matches_sequential(setup):
+    cfg, params, state, masks, mesh, xm = setup
+    out, _ = pp.pipeline_apply(params, state, xm, cfg=cfg, mesh=mesh,
+                               masks=masks, train=False)
+    ref, _ = _sequential(params, state, xm, cfg, masks, train=False)
+    assert float(jnp.max(jnp.abs(out.semantic - ref))) < 1e-5
+
+
+def test_pipeline_train_forward_and_state_match_sequential(setup):
+    cfg, params, state, masks, mesh, xm = setup
+    out, st_pp = pp.pipeline_apply(params, state, xm, cfg=cfg, mesh=mesh,
+                                   masks=masks, train=True)
+    ref, st_ref = _sequential(params, state, xm, cfg, masks, train=True)
+    # train mode recomputes BN batch stats; scan/cond fusion reorders the
+    # f32 reductions vs the straight-line reference (observed ~2e-5)
+    assert float(jnp.max(jnp.abs(out.semantic - ref))) < 1e-4
+    for a, b in zip(jax.tree.leaves(st_pp), jax.tree.leaves(st_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_pipeline_gradients_match_sequential(setup):
+    cfg, params, state, masks, mesh, xm = setup
+
+    def loss_pp(p):
+        o, _ = pp.pipeline_apply(p, state, xm, cfg=cfg, mesh=mesh,
+                                 masks=masks, train=True)
+        return jnp.mean(o.semantic ** 2)
+
+    def loss_ref(p):
+        st = state
+        tot = 0.0
+        for i in range(M):
+            o, st = mu.apply(p, st, xm[i], cfg=cfg, masks=masks, train=True)
+            tot = tot + jnp.mean(o.semantic ** 2)
+        return tot / M
+
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_ref))
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * max(scale, 1.0)
+
+
+def test_pipeline_dropout_and_heads_run(setup):
+    """Dropout rng threading + 3-head variant through the pipeline."""
+    cfg = mu.MaskAttnUNetConfig(c_out=COUT, img_size=IMG, dropout_rate=0.3,
+                                embed_dim=4, with_boundary_head=True,
+                                attn_impl="dense")
+    params, state = mu.init(jax.random.key(3), cfg)
+    masks, mesh, xm = setup[3], setup[4], setup[5]
+    out, st = pp.pipeline_apply(params, state, xm, cfg=cfg, mesh=mesh,
+                                masks=masks, train=True,
+                                dropout_rng=jax.random.key(4))
+    for leaf in (out.semantic, out.boundary, out.embeddings,
+                 *jax.tree.leaves(st)):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_pipeline_rejects_bad_mesh_and_batch(setup):
+    cfg, params, state, masks, mesh, xm = setup
+    with pytest.raises(ValueError, match="not divisible"):
+        pp.split_microbatches(jnp.zeros((5, 4)), 2)
+    from jax.sharding import Mesh
+    import numpy as np
+    bad = Mesh(np.asarray(jax.devices()[:4]).reshape(4,), ("pipe",))
+    with pytest.raises(ValueError, match="size 2"):
+        pp.pipeline_apply(params, state, xm, cfg=cfg, mesh=bad, masks=masks)
