@@ -23,6 +23,13 @@ import argparse
 import json
 import sys
 
+from maskunet_tpu.utils.compile_cache import raise_cpu_collective_watchdog
+
+# before jax backend init (see the docstring): a virtual CPU mesh
+# (--platform cpu smoke runs of --pipeline/--n-data) would otherwise hit
+# XLA:CPU's 40 s collective watchdog on slow hosts
+raise_cpu_collective_watchdog()
+
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--recipe", required=True)
@@ -77,6 +84,16 @@ def main(argv=None) -> int:
     tp.add_argument("--grad-accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step "
                          "(effective batch = batch_size * grad_accum)")
+    tp.add_argument("--img-size", type=int, default=None,
+                    help="override the recipe's training resolution "
+                         "(e.g. 16/32 for CPU smoke runs; checkpoints "
+                         "record the size they were trained at)")
+    tp.add_argument("--pipeline", type=int, default=1, metavar="M",
+                    help="pipeline parallelism: run M >= 2 microbatches of "
+                         "batch_size per step through the 2-stage GPipe "
+                         "(encoder | decoder over the first two devices); "
+                         "one global loss and optimizer update per step. "
+                         "Mutually exclusive with --grad-accum/--n-data")
     tp.add_argument("--lr-schedule", default=None,
                     choices=["cosine", "warmup_cosine", "step"],
                     help="optional lr schedule (default: the reference's "
@@ -202,6 +219,10 @@ def main(argv=None) -> int:
         print(f"error: {e.args[0]}", file=sys.stderr)
         return 2
 
+    if getattr(args, "img_size", None):
+        import dataclasses
+        recipe = dataclasses.replace(recipe, img_size=args.img_size)
+
     if getattr(args, "compute_dtype", None) == "auto":
         # bf16 is the validated TPU default (same accuracy as f32 on the
         # end-to-end synthetic convergence run, see PARITY.md) and ~2x
@@ -234,6 +255,7 @@ def main(argv=None) -> int:
             compute_dtype=args.compute_dtype,
             remat_attention=args.remat_attention, resume=args.resume,
             grad_accum=args.grad_accum,
+            pipeline_microbatches=args.pipeline,
             lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
             log_every=args.log_every, data_fraction=args.data_fraction,
             debug_nan=args.debug_nan, eval_every=args.eval_every,

@@ -94,6 +94,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           compute_dtype: str = "float32", remat_attention: bool = False,
           resume: bool = False,
           grad_accum: int = 1,
+          pipeline_microbatches: int = 1,
           lr_schedule: str | None = None, warmup_steps: int = 0,
           log_every: int = 500, ckpt_every: int = 2000,
           num_io_threads: int = 4, verbose: bool = True,
@@ -118,9 +119,26 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     cfg = model_config(recipe, num_classes, attn_impl=attn_impl,
                        compute_dtype=compute_dtype,
                        remat_attention=remat_attention)
+    # pipeline parallelism (2-stage GPipe, parallel/pipeline.py): like
+    # grad_accum, each step consumes pipeline_microbatches microbatches of
+    # recipe.batch_size — masks and eval stay sized for recipe.batch_size
+    pipe_mesh = None
+    pp_micro = max(pipeline_microbatches, 1)
+    if pp_micro > 1:
+        if mesh is not None:
+            raise ValueError("--pipeline and a DP/TP mesh (--n-data/"
+                             "--n-model) are mutually exclusive in the "
+                             "training loop")
+        if grad_accum > 1:
+            raise ValueError("--pipeline and --grad-accum are mutually "
+                             "exclusive (both split the step's batch)")
+        from maskunet_tpu.parallel import pipeline as pp_lib
+        pipe_mesh = pp_lib.make_pipe_mesh()
+
+    micro_per_step = grad_accum * pp_micro
     epochs_planned = max_epochs if max_epochs is not None else recipe.num_epochs
     steps_per_epoch = max(
-        len(train_ds) // (recipe.batch_size * grad_accum), 1)
+        len(train_ds) // (recipe.batch_size * micro_per_step), 1)
     tx = make_optimizer(
         recipe, lr_schedule=lr_schedule, warmup_steps=warmup_steps,
         total_steps=(max_steps if max_steps is not None
@@ -164,6 +182,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     train_step = jax.jit(
         step_lib.make_train_step(cfg, recipe.task_config, tx, mesh=mesh,
                                  grad_accum=grad_accum,
+                                 pipe_mesh=pipe_mesh,
+                                 pipe_microbatches=pp_micro,
                                  mask_plans=mask_plans),
         donate_argnums=(0,))
     logger = metrics_log.MetricsLogger(workdir, f"train_{recipe.name}")
@@ -176,11 +196,11 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         on_improve=lambda: is_lead and manager.save_best(current["ts"]))
     guard = OverfitGuard(recipe.overfit_margin)
 
-    # grad_accum > 1: the loop feeds grad_accum * batch_size examples per
-    # step; the step splits them into microbatches (masks stay sized for
-    # recipe.batch_size)
+    # grad_accum / pipeline_microbatches > 1: the loop feeds
+    # micro_per_step * batch_size examples per step; the step splits them
+    # into microbatches (masks stay sized for recipe.batch_size)
     batches = pipeline.BatchIterator(
-        train_ds, recipe.batch_size * grad_accum, shuffle=True,
+        train_ds, recipe.batch_size * micro_per_step, shuffle=True,
         seed=recipe.seed, drop_last=True, num_threads=num_io_threads)
     history: list[dict] = []
     best_loss, best_iou = float("inf"), 0.0
@@ -232,7 +252,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 batch.pop("valid", None)
                 ts, metrics = train_step(ts, batch)
                 current["ts"] = ts
-                meter.step(recipe.batch_size * grad_accum)
+                meter.step(recipe.batch_size * micro_per_step)
                 if debug_nan:
                     from maskunet_tpu.utils.profiling import nan_guard
                     nan_guard(metrics, f"step {steps_done}")

@@ -32,6 +32,7 @@ from maskunet_tpu.losses.cross_entropy import cross_entropy
 from maskunet_tpu.losses.triplet import instance_triplet_loss
 from maskunet_tpu.models import maskattn_unet as model
 from maskunet_tpu.ops import metrics_ops
+from maskunet_tpu.parallel import pipeline as pipeline_lib
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +68,8 @@ def _compute_loss(out: model.ModelOutput, batch: dict, task: TaskConfig,
 
 
 def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
-                    tx, mesh=None, grad_accum: int = 1, mask_plans=None
+                    tx, mesh=None, grad_accum: int = 1, mask_plans=None,
+                    pipe_mesh=None, pipe_microbatches: int = 1
                     ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Returns a pure step(ts, batch) -> (ts, metrics), ready for jit/pjit.
     `mesh` enables in-model sharding annotations (DP batch + bottleneck TP).
@@ -85,15 +87,52 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     `ts.masks` must be sized for batch/grad_accum. BatchNorm batch
     statistics are per-microbatch (running stats thread through the scan)
     — the same semantics as per-replica BN, documented divergence from a
-    monolithic large batch."""
+    monolithic large batch.
+
+    `pipe_mesh` + `pipe_microbatches > 1`: the batch is split into that
+    many microbatches run through the 2-stage GPipe executor
+    (`parallel/pipeline.py` — encoder on stage 0, decoder on stage 1,
+    skips via ppermute). One GLOBAL loss over all microbatch outputs and
+    one optimizer update per step; `ts.masks` must be sized for
+    batch/pipe_microbatches (same per-microbatch convention as
+    grad_accum). Mutually exclusive with `mesh` (DP/TP) and
+    `grad_accum > 1`. Loss-weighting nuance vs grad_accum: the global CE
+    mean weights every valid pixel equally, while grad_accum averages
+    per-microbatch means — they differ only when `ignore_index` leaves
+    unequal valid counts per microbatch."""
+    if pipe_mesh is not None:
+        if grad_accum > 1:
+            raise ValueError("pipeline parallelism and grad_accum are "
+                             "mutually exclusive (both split the batch)")
+        if mesh is not None:
+            raise ValueError("pipeline parallelism composes with a DP/TP "
+                             "mesh only via dryrun-style manual setup; "
+                             "pass either mesh or pipe_mesh")
+        if pipe_microbatches < 2:
+            raise ValueError("pipe_microbatches must be >= 2 with a "
+                             "pipe_mesh (1 microbatch has no overlap)")
+    else:
+        pipe_microbatches = 1
 
     def grads_and_metrics(params, mstate, batch, masks, plans, dropout_rng,
                           triplet_rng):
         def loss_fn(params):
-            out, new_mstate = model.apply(
-                params, mstate, batch["image"], cfg=cfg,
-                masks=masks, train=True, dropout_rng=dropout_rng, mesh=mesh,
-                mask_plans=plans)
+            if pipe_mesh is not None:
+                x_micro = pipeline_lib.split_microbatches(
+                    batch["image"], pipe_microbatches)
+                out_m, new_mstate = pipeline_lib.pipeline_apply(
+                    params, mstate, x_micro, cfg=cfg, mesh=pipe_mesh,
+                    masks=masks, train=True, dropout_rng=dropout_rng,
+                    mask_plans=plans)
+                # [M, mb, ...] -> [M*mb, ...] so the loss/metrics see the
+                # full batch exactly as the non-pipelined path does
+                out = jax.tree.map(
+                    lambda a: a.reshape((-1,) + a.shape[2:]), out_m)
+            else:
+                out, new_mstate = model.apply(
+                    params, mstate, batch["image"], cfg=cfg,
+                    masks=masks, train=True, dropout_rng=dropout_rng,
+                    mesh=mesh, mask_plans=plans)
             loss, metrics = _compute_loss(out, batch, task, triplet_rng)
             return loss, (metrics, new_mstate, out)
 
@@ -106,7 +145,7 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     def step(ts: TrainState, batch: dict):
         rng = jax.random.fold_in(ts.rng, ts.step)
         mask_rng, dropout_rng, triplet_rng = jax.random.split(rng, 3)
-        micro = batch["image"].shape[0] // grad_accum
+        micro = batch["image"].shape[0] // (grad_accum * pipe_microbatches)
         if task.mask_policy == "fresh" or ts.masks is None:
             masks = model.make_attention_masks(mask_rng, micro,
                                                cfg.img_size)

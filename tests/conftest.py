@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+from maskunet_tpu.utils.compile_cache import (  # noqa: E402
+    raise_cpu_collective_watchdog)
+
+# virtual "devices" are threads sharing this host's core(s); a slow tick
+# must not trip XLA:CPU's 40 s collective-rendezvous abort
+raise_cpu_collective_watchdog()
+
 import jax  # noqa: E402
 
 # The env var alone is not enough when a TPU PJRT plugin (axon) is already

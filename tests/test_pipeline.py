@@ -106,3 +106,94 @@ def test_pipeline_rejects_bad_mesh_and_batch(setup):
     bad = Mesh(np.asarray(jax.devices()[:4]).reshape(4,), ("pipe",))
     with pytest.raises(ValueError, match="size 2"):
         pp.pipeline_apply(params, state, xm, cfg=cfg, mesh=bad, masks=masks)
+
+
+# ---------------------------------------------------------------------------
+# Training-stack integration (train/step.py pipe_mesh + loop --pipeline)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_train_step_matches_sequential_update(setup):
+    """make_train_step(pipe_mesh=...) must produce exactly the update of
+    the equivalent sequential computation: per-microbatch forwards with
+    BN state threaded in order, ONE global CE over all outputs, one AdamW
+    step."""
+    import optax
+
+    from maskunet_tpu.core import state as state_lib
+    from maskunet_tpu.losses.cross_entropy import cross_entropy
+    from maskunet_tpu.train import step as step_lib
+
+    cfg, params, state, masks, mesh, xm = setup
+    labels = jax.random.randint(jax.random.key(5), (M * MB, IMG, IMG),
+                                0, COUT)
+    batch = {"image": xm.reshape((M * MB, IMG, IMG, 3)), "label": labels}
+
+    # SGD, not AdamW: the first AdamW step from zero moments is exactly
+    # lr*sign(grad) elementwise, so a near-zero grad element whose sign
+    # flips under f32 reduction reordering moves the param by 2*lr — a
+    # sign comparison, not a numerics one. SGD's update is linear in the
+    # grad, so the comparison inherits the grad tolerance.
+    tx = optax.sgd(0.1)
+    ts = state_lib.create(jax.random.key(6), params, state, tx, masks=masks)
+    step = jax.jit(step_lib.make_train_step(
+        cfg, step_lib.TaskConfig(), tx, pipe_mesh=mesh, pipe_microbatches=M))
+    ts2, metrics = step(ts, batch)
+
+    def loss_ref(p):
+        st = state
+        outs = []
+        for i in range(M):
+            o, st = mu.apply(p, st, xm[i], cfg=cfg, masks=masks, train=True)
+            outs.append(o.semantic)
+        logits = jnp.concatenate(outs).astype(jnp.float32)
+        return cross_entropy(logits, labels, None), st
+
+    (loss_ref_val, st_ref), grads = jax.jit(
+        lambda p: jax.value_and_grad(loss_ref, has_aux=True)(p))(ts.params)
+    updates, _ = tx.update(grads, ts.opt_state, ts.params)
+    params_ref = jax.tree.map(lambda a, b: a + b, ts.params, updates)
+
+    assert abs(float(metrics["loss"]) - float(loss_ref_val)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ts2.params), jax.tree.leaves(params_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+    for a, b in zip(jax.tree.leaves(ts2.model_state),
+                    jax.tree.leaves(st_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+    assert int(ts2.step) == 1
+
+
+def test_pipeline_step_rejects_bad_combinations(setup):
+    import optax
+
+    from maskunet_tpu.train import step as step_lib
+
+    cfg, _, _, _, mesh, _ = setup
+    tx = optax.adamw(1e-3)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx,
+                                 pipe_mesh=mesh, pipe_microbatches=2,
+                                 grad_accum=2)
+    with pytest.raises(ValueError, match=">= 2"):
+        step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx,
+                                 pipe_mesh=mesh, pipe_microbatches=1)
+
+
+def test_train_loop_pipeline_smoke(tmp_path):
+    """`loop.train(pipeline_microbatches=2)` (the CLI's --pipeline 2):
+    mesh construction, microbatch batching, metrics, and checkpointing
+    all through the pipelined step."""
+    import dataclasses
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop
+
+    rec = dataclasses.replace(
+        recipes_lib.get("synthetic_semantic"), img_size=16,
+        checkpoint_name="pp_smoke")
+    res = loop.train(rec, None, str(tmp_path), max_steps=2, max_epochs=1,
+                     log_every=0, verbose=False, pipeline_microbatches=2)
+    assert res.history, "no epochs recorded"
+    assert res.history[0]["loss"] == pytest.approx(res.history[0]["loss"])
+    assert (tmp_path / "pp_smoke_latest.msgpack").exists() or \
+           (tmp_path / "pp_smoke_best.msgpack").exists()

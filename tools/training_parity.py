@@ -29,6 +29,13 @@ and 'embed' (city_instance 3-head). This is the epistemic backstop for
 every oracle-based number in PARITY.md.
 
     python tools/training_parity.py 100 16 semantic embed --literal
+
+--lr / --wd override the default AdamW hyperparameters (1e-3 / 1e-2).
+Used to parity-lock the reference's DIVERGENT settings too — e.g.
+`--lr 1e-2 --wd 1e-1` (ade_instance.py:315) shows torch and JAX rising
+in lockstep, proving the documented non-convergence of the lr=1e-2
+recipes on small data is the reference's own dynamics, not a rebuild
+artifact (see recipes_e2e_ref_lr.json documented_exceptions).
 """
 
 from __future__ import annotations
@@ -44,7 +51,8 @@ TASKS = ("semantic", "summed", "panoptic", "embed")
 
 
 def run_task(task_name: str, steps: int, img: int,
-             literal: bool = False) -> float:
+             literal: bool = False,
+             lr: float = 1e-3, wd: float = 1e-2) -> float:
     import contextlib
 
     import jax
@@ -59,7 +67,7 @@ def run_task(task_name: str, steps: int, img: int,
     from maskunet_tpu.train import step as step_lib
     from torch_oracle import OracleUNet, load_params
 
-    c_out, batch, lr, wd = 5, 4, 1e-3, 1e-2
+    c_out, batch = 5, 4
     embed = 16 if task_name == "embed" else 0
     ignore = 255 if task_name == "embed" else None
     tri_w = {"panoptic": 0.1, "embed": 0.5}.get(task_name, 0.0)
@@ -204,14 +212,25 @@ def main() -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    argv = [a for a in sys.argv[1:] if a != "--literal"]
-    literal = "--literal" in sys.argv[1:]
+    lr, wd = 1e-3, 1e-2
+    argv = []
+    it = iter(sys.argv[1:])
+    literal = False
+    for a in it:
+        if a == "--literal":
+            literal = True
+        elif a == "--lr":
+            lr = float(next(it))
+        elif a == "--wd":
+            wd = float(next(it))
+        else:
+            argv.append(a)
     steps = int(argv[0]) if len(argv) > 0 else 20
     img = int(argv[1]) if len(argv) > 1 else 16
     tasks = argv[2:] or (["semantic", "embed"] if literal else list(TASKS))
     worst = {}
     for t in tasks:
-        worst[t] = run_task(t, steps, img, literal=literal)
+        worst[t] = run_task(t, steps, img, literal=literal, lr=lr, wd=wd)
     print(f"\nsummary vs {'LITERAL reference' if literal else 'oracle'} "
           "(trajectory rel):",
           {k: f"{v:.2e}" for k, v in worst.items()})
