@@ -37,6 +37,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--workdir", default="runs")
     p.add_argument("--attn-impl", default="auto",
                    choices=["auto", "dense", "flash"])
+    p.add_argument("--attn-output-layout", default="auto",
+                   choices=["auto", "transpose", "literal_view"],
+                   help="attention-output un-flatten semantics. auto: "
+                        "'literal_view' when the workdir checkpoint was "
+                        "imported from a reference .pth (those weights "
+                        "encode the reference's raw .view(B,C,H,W) "
+                        "scramble, ade_semantic.py:190 — recorded by "
+                        "import-torch in a sidecar), else 'transpose' "
+                        "(this framework's intended layout)")
     p.add_argument("--compute-dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="auto: bfloat16 on TPU (validated end-to-end, "
@@ -222,6 +231,25 @@ def main(argv=None) -> int:
     if getattr(args, "img_size", None):
         import dataclasses
         recipe = dataclasses.replace(recipe, img_size=args.img_size)
+
+    # attention-output layout: explicit flag wins; 'auto' resolves from
+    # the import-torch sidecar so reference-trained checkpoints evaluate/
+    # serve with the layout their weights were trained under
+    layout = getattr(args, "attn_output_layout", "auto")
+    if layout == "auto":
+        if args.cmd == "import-torch":
+            layout = "literal_view"   # provenance: a reference .pth
+        else:
+            from maskunet_tpu.core import checkpoint as _ckpt_meta
+            meta = _ckpt_meta.read_import_meta(
+                getattr(args, "workdir", "runs"), recipe.checkpoint_name)
+            layout = (meta or {}).get("attn_output_layout", "transpose")
+    if layout != recipe.attn_output_layout:
+        import dataclasses
+        recipe = dataclasses.replace(recipe, attn_output_layout=layout)
+        if layout == "literal_view":
+            print(f"attention-output layout: literal_view "
+                  f"(reference-checkpoint semantics)", file=sys.stderr)
 
     if getattr(args, "compute_dtype", None) == "auto":
         # bf16 is the validated TPU default (same accuracy as f32 on the
@@ -436,8 +464,15 @@ def main(argv=None) -> int:
         # resume/--init-from read 'latest'
         path = manager.save_best(ts)
         manager.save_latest(ts)
+        # provenance sidecar: evaluate/predict/serve/export resolve
+        # --attn-output-layout=auto from this
+        ckpt_lib.write_import_meta(
+            args.workdir, recipe.checkpoint_name,
+            {"attn_output_layout": recipe.attn_output_layout,
+             "source": args.torch_checkpoint})
         print(json.dumps({"imported": args.torch_checkpoint,
                           "checkpoint": path,
+                          "attn_output_layout": recipe.attn_output_layout,
                           "ignored_keys": len(report["ignored"])}))
         return 0
 

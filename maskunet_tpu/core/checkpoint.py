@@ -119,6 +119,34 @@ def _rekey(template: Any, tree: Any) -> Any:
         template, tree)
 
 
+def _import_meta_path(workdir: str, name: str) -> str:
+    return os.path.join(workdir, f"{name}_import_meta.json")
+
+
+def write_import_meta(workdir: str, name: str, meta: dict) -> str:
+    """Record checkpoint provenance (e.g. a torch import's
+    attn_output_layout) next to the checkpoint files, so inference
+    commands can resolve model-semantics options automatically."""
+    import json
+    path = _import_meta_path(workdir, name)
+    os.makedirs(workdir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, path)
+    return path
+
+
+def read_import_meta(workdir: str, name: str) -> dict | None:
+    """The sidecar written by `write_import_meta`, or None."""
+    import json
+    path = _import_meta_path(workdir, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save(path: str, state: Any) -> None:
     """Atomically serialize a pytree (e.g. TrainState) to `path`."""
     data = flax.serialization.to_bytes(_unkey(jax.device_get(state)))

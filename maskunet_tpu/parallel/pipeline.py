@@ -174,7 +174,11 @@ def pipeline_apply(params: dict, state: dict, x_micro: jax.Array, *,
             # and enter it as plain bool operands: no RNG key may live
             # inside the cond (a key-typed branch residual trips a jax
             # partial-eval bug — the other branch pads the slot with float0
-            # and the aval typematch fails)
+            # and the aval typematch fails). Known cost: the encoder rank
+            # generates masks it never uses (a cond can't DCE per rank) —
+            # accepted, the RBG primitive is near-free on TPU
+            # (core/layers.dropout docstring) and gating it behind a
+            # rank cond would put keys back inside a branch
             if use_dropout:
                 d_rng = jax.random.fold_in(
                     jax.random.wrap_key_data(dropout_rng), t - 1)

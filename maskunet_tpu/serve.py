@@ -354,6 +354,13 @@ def make_handler(batcher: _Batcher, img_size: int, num_classes: int,
         # every response path below sends Content-Length (send_error
         # does too).
         protocol_version = "HTTP/1.1"
+        # Idle kept-alive connections must not pin their handler thread
+        # (and fd) forever: BaseHTTPRequestHandler applies this as the
+        # socket timeout, and a timeout between requests closes the
+        # connection (handle_one_request -> close_connection). 30 s
+        # covers any sane client reuse gap; well-behaved pools reconnect
+        # transparently.
+        timeout = 30
 
         def log_message(self, *args):  # quiet
             pass
@@ -501,6 +508,17 @@ def main(argv=None) -> int:
         from maskunet_tpu.tasks import recipes as recipes_lib
 
         recipe = recipes_lib.get(args.recipe)
+        # reference-imported checkpoints must serve with the attention
+        # layout their weights encode (import-torch records it)
+        from maskunet_tpu.core import checkpoint as _ckpt_meta
+        meta_sc = _ckpt_meta.read_import_meta(args.workdir,
+                                              recipe.checkpoint_name)
+        layout = (meta_sc or {}).get("attn_output_layout", "transpose")
+        if layout != recipe.attn_output_layout:
+            import dataclasses
+            recipe = dataclasses.replace(recipe, attn_output_layout=layout)
+            print(f"attention-output layout: {layout} "
+                  f"(from import sidecar)", flush=True)
         if args.num_classes is not None:
             num_classes = args.num_classes
         else:

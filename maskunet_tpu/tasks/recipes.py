@@ -37,6 +37,12 @@ class Recipe:
     # reference max_queries sweeps: 50/100/150/200 (ade_instance.py:451),
     # 30/50/70/100 for cityscapes (city_instance.py:510)
     eval_max_queries: tuple[int, ...] = (50, 100, 150, 200)
+    # 'transpose' (this framework's intended un-flatten) or 'literal_view'
+    # (the reference's raw .view(B,C,H,W) attention-output reinterpret,
+    # ade_semantic.py:190) — checkpoints imported from reference .pth
+    # files encode the latter; the CLI resolves this automatically from
+    # the import-torch sidecar (core/checkpoint.read_import_meta)
+    attn_output_layout: str = "transpose"
 
 
 _R = Recipe

@@ -75,7 +75,8 @@ def model_config(recipe: Recipe, num_classes: int, *,
         embed_dim=recipe.embed_dim,
         with_boundary_head=recipe.with_boundary_head,
         attn_impl=attn_impl, compute_dtype=compute_dtype,
-        remat_attention=remat_attention)
+        remat_attention=remat_attention,
+        attn_output_layout=recipe.attn_output_layout)
 
 
 def setup_state(recipe: Recipe, cfg: model_lib.MaskAttnUNetConfig, tx,

@@ -65,7 +65,12 @@ def client(url: str, n_requests: int, concurrency: int,
                 r.read()
                 if r.status >= 500:
                     # a 5xx (shed/timeout) is a RESULT, not a harness
-                    # error: count it and keep the run alive
+                    # error: count it and keep the run alive. send_error
+                    # responses carry Connection: close — drop the dead
+                    # connection NOW or the thread's next request burns a
+                    # failed attempt + retry sleep on it (latency skew)
+                    local.conn = None
+                    conn.close()
                     with lock:
                         failures[0] += 1
                     return
