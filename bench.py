@@ -50,6 +50,42 @@ def estimate_a100_baseline() -> float:
     return 130.0
 
 
+# Regression gate (VERDICT r4 #6): the headline rate is compared against
+# the best prior round's recorded value; below this fraction of it the JSON
+# carries `regressed: true` so a real perf loss can't hide inside the
+# documented ±10% tunnel variance unnoticed.
+REGRESSION_THRESHOLD = 0.9
+
+
+def best_recorded(root: str | None = None) -> float:
+    """Best headline img/s across the driver's BENCH_r*.json round records
+    (0.0 when none parse — e.g. a fresh checkout)."""
+    import glob
+    import os
+
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    best = 0.0
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            val = float(rec["parsed"]["value"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        best = max(best, val)
+    return best
+
+
+def regression_fields(value: float, best: float) -> dict:
+    """Extra JSON fields comparing this run to the best recorded round."""
+    if best <= 0.0:
+        return {}
+    return {
+        "best_recorded": round(best, 1),
+        "regressed": bool(value < REGRESSION_THRESHOLD * best),
+    }
+
+
 def bench(batch: int = 8, steps: int = 50, warmup: int = 2,
           compute_dtype: str = "bfloat16"):
     from maskunet_tpu.utils import compile_cache
@@ -137,6 +173,11 @@ def _measure_and_print(batch: int) -> None:
     print(f"[bench] backend={backend} batch={batch} "
           f"infer={infer_ips:.1f} img/s train={train_ips:.1f} img/s "
           f"(A100 ref estimate {baseline} img/s infer)", file=sys.stderr)
+    extra = regression_fields(infer_ips, best_recorded())
+    if extra.get("regressed"):
+        print(f"[bench] REGRESSION: {infer_ips:.1f} img/s < "
+              f"{REGRESSION_THRESHOLD:.0%} of best recorded "
+              f"{extra['best_recorded']} img/s", file=sys.stderr)
     print(json.dumps({
         "metric": "maskattn_unet_128px_inference",
         "value": round(infer_ips, 1),
@@ -145,6 +186,7 @@ def _measure_and_print(batch: int) -> None:
         "train_images_per_sec": round(train_ips, 1),
         "backend": backend,
         "batch": batch,
+        **extra,
     }))
 
 

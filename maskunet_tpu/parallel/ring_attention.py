@@ -61,10 +61,11 @@ def _ring_core(q, k, v, bias, *, scale: float, axis_name: str):
     def _vary(x):
         # the non-experimental shard_map tracks varying-axis types: scan
         # carries must match the ppermute outputs' vma set
-        try:
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+        if hasattr(jax.lax, "pvary"):   # pragma: no cover - jax < 0.7
             return jax.lax.pvary(x, axis_name)
-        except AttributeError:
-            return x
+        return x
 
     init = (k, v, bias,
             _vary(jnp.zeros((b, lq, c), jnp.float32)),

@@ -123,6 +123,34 @@ def test_child_flag_routes_to_measurement(monkeypatch):
     assert calls == [4, 8, "parent"]
 
 
+def test_regression_gate_fields():
+    # below 90% of best -> flagged; at/above -> not; no records -> no fields
+    assert bench.regression_fields(100.0, 0.0) == {}
+    f = bench.regression_fields(80.0, 100.0)
+    assert f == {"best_recorded": 100.0, "regressed": True}
+    f = bench.regression_fields(91.0, 100.0)
+    assert f["regressed"] is False
+
+
+def test_best_recorded_scans_round_records(tmp_path):
+    import json as _json
+
+    (tmp_path / "BENCH_r01.json").write_text(_json.dumps(
+        {"parsed": {"value": 530.1}}))
+    (tmp_path / "BENCH_r03.json").write_text(_json.dumps(
+        {"parsed": {"value": 729.0}}))
+    (tmp_path / "BENCH_r04.json").write_text("not json {")   # tolerated
+    (tmp_path / "BENCH_r05.json").write_text(_json.dumps({"rc": 1}))
+    assert bench.best_recorded(str(tmp_path)) == 729.0
+    assert bench.best_recorded(str(tmp_path / "empty")) == 0.0
+
+
+def test_best_recorded_real_repo_records():
+    # the in-repo round records must parse (the gate is only as good as
+    # its inputs); as of r4 the best is 729.0
+    assert bench.best_recorded() >= 729.0
+
+
 def test_parent_batch_arg_reaches_child(monkeypatch):
     # plain `python bench.py <batch>`: the batch must ride into the
     # measurement child's argv
