@@ -102,7 +102,9 @@ def main(argv=None) -> int:
                          "batch_size per step through the 2-stage GPipe "
                          "(encoder | decoder over the first two devices); "
                          "one global loss and optimizer update per step. "
-                         "Mutually exclusive with --grad-accum/--n-data")
+                         "Composes with --n-data N (a data x pipe mesh "
+                         "over N*2 devices); mutually exclusive with "
+                         "--grad-accum")
     tp.add_argument("--lr-schedule", default=None,
                     choices=["cosine", "warmup_cosine", "step"],
                     help="optional lr schedule (default: the reference's "
@@ -271,8 +273,14 @@ def main(argv=None) -> int:
                   f"{args.n_data}; pick --n-data that divides the batch "
                   f"(or a recipe with a larger batch)", file=sys.stderr)
             return 2
-        from maskunet_tpu.parallel import mesh as mesh_lib
-        mesh = mesh_lib.make_mesh(n_data=args.n_data)
+        if getattr(args, "pipeline", 1) > 1:
+            # dp x pp: the pipeline executor wants the 'pipe' axis ON the
+            # mesh (manual over pipe, GSPMD-auto over data)
+            from maskunet_tpu.parallel import pipeline as pp_lib
+            mesh = pp_lib.make_dp_pipe_mesh(n_data=args.n_data)
+        else:
+            from maskunet_tpu.parallel import mesh as mesh_lib
+            mesh = mesh_lib.make_mesh(n_data=args.n_data)
 
     if args.cmd == "train":
         from maskunet_tpu.train import loop

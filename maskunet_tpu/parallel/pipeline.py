@@ -25,6 +25,14 @@ Design notes (TPU-first, not a translation of anything in the reference):
   ICI-trivial and replication keeps the executor composable with the DP
   mesh; what PP buys here is *compute and activation* overlap (the decoder
   works while the encoder streams the next microbatch).
+- DP composes via PARTIAL-MANUAL shard_map: on a ('data', 'pipe') mesh the
+  executor is manual over `pipe` only (`axis_names={'pipe'}`) while `data`
+  stays a GSPMD auto axis — the microbatch dimension rides in sharded over
+  `data`, every jnp op inside the stages keeps global-batch semantics
+  (cross-replica BatchNorm for free), and jax.grad outside the shard_map
+  gets its param-gradient all-reduce over `data` inserted by GSPMD exactly
+  as on the plain DP path. No collective in this file ever names `data`,
+  so the deadlock ordering constraint below concerns `pipe` alone.
 - The whole schedule is differentiable: `ppermute`'s transpose is the
   reverse permute, `cond`/`scan` transpose per branch, so
   `jax.grad(loss ∘ pipeline_apply)` yields exactly the gradients of the
@@ -71,6 +79,46 @@ def make_pipe_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (PIPE_AXIS,))
 
 
+def make_dp_pipe_mesh(n_data: int | None = None, devices=None) -> Mesh:
+    """A ('data', 'pipe') mesh: n_data-way data parallelism x the 2-stage
+    pipeline. The `pipe` axis is innermost so each replica's two stages sit
+    on ICI-adjacent devices (the skip payload crosses `pipe` every tick;
+    gradients cross `data` once per step)."""
+    from maskunet_tpu.parallel.mesh import DATA_AXIS
+
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // N_STAGES
+    if n_data * N_STAGES != len(devices):
+        raise ValueError(f"dp x pp mesh {n_data}x{N_STAGES} != "
+                         f"{len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, N_STAGES)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+def validate_pipe_mesh(mesh: Mesh) -> Mesh:
+    """Check `mesh` carries the 2-wide `pipe` axis (alone, or alongside a
+    GSPMD-auto `data` axis for dp x pp)."""
+    if PIPE_AXIS not in mesh.axis_names or mesh.shape[PIPE_AXIS] != N_STAGES:
+        raise ValueError(
+            f"pipeline mesh needs a '{PIPE_AXIS}' axis of size {N_STAGES}, "
+            f"got {dict(mesh.shape)} — build it with make_pipe_mesh() or "
+            f"make_dp_pipe_mesh(n_data)")
+    return mesh
+
+
+def _shard_map_pipe(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map manual over `pipe` only; any other mesh axis (e.g. `data`)
+    stays auto so GSPMD shards/reduces over it around the executor."""
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, axis_names={PIPE_AXIS})
+    except TypeError:   # pragma: no cover - older jax spells it `auto=`
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs,
+                         auto=frozenset(mesh.axis_names) - {PIPE_AXIS})
+
+
 def split_microbatches(batch_tree, n_micro: int):
     """[B, ...] -> [n_micro, B/n_micro, ...] on every leaf."""
     def split(a):
@@ -95,11 +143,15 @@ def pipeline_apply(params: dict, state: dict, x_micro: jax.Array, *,
     them (the reference's cached-mask policy; pass fresh per-step masks
     from the train loop for the 'fresh' policy). Returns
     (ModelOutput with [M, mb, ...] leaves, new_model_state), both
-    replicated across the mesh.
+    replicated across `pipe`.
+
+    `mesh` may be the plain 2-device ('pipe',) mesh or a ('data', 'pipe')
+    dp x pp mesh: the executor is manual over `pipe` only, so a `data`
+    axis stays GSPMD-auto — shard the microbatch dim of `x_micro` over it
+    (P(None, 'data')) and batch statistics / outputs / gradients keep
+    global-batch DP semantics automatically.
     """
-    if tuple(mesh.axis_names) != (PIPE_AXIS,) or mesh.shape[PIPE_AXIS] != 2:
-        raise ValueError(f"mesh must be exactly ('{PIPE_AXIS}',) of size 2, "
-                         f"got {dict(mesh.shape)}")
+    validate_pipe_mesh(mesh)
     if train and cfg.dropout_rate > 0 and dropout_rng is None:
         raise ValueError("dropout_rng required when train=True")
     n_micro = x_micro.shape[0]
@@ -250,8 +302,8 @@ def pipeline_apply(params: dict, state: dict, x_micro: jax.Array, *,
                 sub)
         return outs, merged
 
-    fn = shard_map(
-        stepped, mesh=mesh,
+    fn = _shard_map_pipe(
+        stepped, mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P()))
     # None-valued optionals (masks / plans / rng) are empty pytrees — the

@@ -122,19 +122,25 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                        remat_attention=remat_attention)
     # pipeline parallelism (2-stage GPipe, parallel/pipeline.py): like
     # grad_accum, each step consumes pipeline_microbatches microbatches of
-    # recipe.batch_size — masks and eval stay sized for recipe.batch_size
+    # recipe.batch_size — masks and eval stay sized for recipe.batch_size.
+    # DP composes: a mesh carrying a 'pipe' axis (make_dp_pipe_mesh, built
+    # by the CLI for --pipeline + --n-data) becomes the executor's dp x pp
+    # mesh, with the batch sharded over its 'data' axis.
     pipe_mesh = None
     pp_micro = max(pipeline_microbatches, 1)
     if pp_micro > 1:
-        if mesh is not None:
-            raise ValueError("--pipeline and a DP/TP mesh (--n-data/"
-                             "--n-model) are mutually exclusive in the "
-                             "training loop")
         if grad_accum > 1:
             raise ValueError("--pipeline and --grad-accum are mutually "
                              "exclusive (both split the step's batch)")
         from maskunet_tpu.parallel import pipeline as pp_lib
-        pipe_mesh = pp_lib.make_pipe_mesh()
+        if mesh is None:
+            pipe_mesh = pp_lib.make_pipe_mesh()
+        else:
+            # model.apply's in-model (TP) annotations don't run on the PP
+            # path; the mesh moves whole to the executor, which is manual
+            # over 'pipe' and leaves 'data' to GSPMD
+            pipe_mesh = pp_lib.validate_pipe_mesh(mesh)
+            mesh = None
 
     micro_per_step = grad_accum * pp_micro
     epochs_planned = max_epochs if max_epochs is not None else recipe.num_epochs
@@ -175,6 +181,11 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     if mesh is not None:
         ts = mesh_lib.put_replicated(mesh, ts)
         sharding = mesh_lib.batch_sharding(mesh)
+    elif pipe_mesh is not None and mesh_lib.DATA_AXIS in pipe_mesh.axis_names:
+        # dp x pp: state replicated over the whole mesh, input batches
+        # sharded over 'data' (each pipeline microbatch spans all replicas)
+        ts = mesh_lib.put_replicated(pipe_mesh, ts)
+        sharding = mesh_lib.batch_sharding(pipe_mesh)
 
     # compaction plans are derived from the masks the state ACTUALLY
     # carries — computed here, after restore/warm-start settled ts.masks,

@@ -95,19 +95,24 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     skips via ppermute). One GLOBAL loss over all microbatch outputs and
     one optimizer update per step; `ts.masks` must be sized for
     batch/pipe_microbatches (same per-microbatch convention as
-    grad_accum). Mutually exclusive with `mesh` (DP/TP) and
+    grad_accum). Data parallelism composes by passing a ('data', 'pipe')
+    mesh from `pipeline.make_dp_pipe_mesh` as `pipe_mesh` (the executor is
+    manual over `pipe` only; batch sharded over the auto `data` axis) —
+    the separate `mesh` argument is for the NON-pipelined path's in-model
+    annotations and stays mutually exclusive. Also exclusive with
     `grad_accum > 1`. Loss-weighting nuance vs grad_accum: the global CE
     mean weights every valid pixel equally, while grad_accum averages
     per-microbatch means — they differ only when `ignore_index` leaves
     unequal valid counts per microbatch."""
     if pipe_mesh is not None:
+        pipeline_lib.validate_pipe_mesh(pipe_mesh)
         if grad_accum > 1:
             raise ValueError("pipeline parallelism and grad_accum are "
                              "mutually exclusive (both split the batch)")
         if mesh is not None:
-            raise ValueError("pipeline parallelism composes with a DP/TP "
-                             "mesh only via dryrun-style manual setup; "
-                             "pass either mesh or pipe_mesh")
+            raise ValueError("pass DP/TP either as `mesh` (non-pipelined) "
+                             "or as a ('data', 'pipe') `pipe_mesh` "
+                             "(pipeline.make_dp_pipe_mesh), not both")
         if pipe_microbatches < 2:
             raise ValueError("pipe_microbatches must be >= 2 with a "
                              "pipe_mesh (1 microbatch has no overlap)")
