@@ -106,6 +106,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           init_from: str | None = None,
           init_drop: tuple[str, ...] = (),
           cache_examples: bool = True,
+          save_checkpoints: bool = True,
           profile_dir: str | None = None,
           profile_steps: int = 5) -> TrainResult:
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
@@ -170,6 +171,11 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     # checkpoints and metric logs — the others would race on the same files
     # with identical contents. Single-process runs are always the lead.
     is_lead = jax.process_index() == 0
+    # save_checkpoints=False: measurement runs (fraction sweeps, plateau
+    # campaigns) evaluate the returned in-memory state and never restore —
+    # the per-epoch full-state save (hundreds of MB D2H through a remote-
+    # device tunnel) would dominate their epoch time on small datasets
+    save_lead = is_lead and save_checkpoints
 
     manager = ckpt_lib.CheckpointManager(workdir, recipe.checkpoint_name)
     if resume and manager.has("latest"):
@@ -205,7 +211,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     current: dict[str, Any] = {"ts": ts}
     early = EarlyStopping(
         recipe.patience, verbose=verbose,
-        on_improve=lambda: is_lead and manager.save_best(current["ts"]))
+        on_improve=lambda: save_lead and manager.save_best(current["ts"]))
     guard = OverfitGuard(recipe.overfit_margin)
 
     # grad_accum / pipeline_microbatches > 1: the loop feeds
@@ -287,7 +293,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 # inside the print cadence, ade_semantic.py:408-412 — here
                 # that coupling silently disabled saves for log_every=0)
                 if ckpt_every and i % ckpt_every == 0 and i != 0 \
-                        and is_lead:
+                        and save_lead:
                     manager.save_latest(ts)
                 if max_steps is not None and steps_done >= max_steps:
                     break
@@ -347,7 +353,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             print(f"epoch [{epoch + 1}/{epochs}] loss {avg_loss:.4f} "
                   f"iou {avg_iou:.4f} "
                   f"({record['images_per_sec']} img/s)")
-        if is_lead:
+        if save_lead:
             manager.save_latest(ts)
 
         if max_steps is not None and steps_done >= max_steps:

