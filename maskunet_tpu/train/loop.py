@@ -35,6 +35,12 @@ class TrainResult:
     best_loss: float
     best_iou: float
     images_per_sec: float
+    # why the run ended: "completed" (epoch budget exhausted), "max_steps",
+    # "early_stop" (patience on train loss, ade_semantic.py:317-344), or
+    # "overfit_guard" (mIoU circuit breaker, ade_semantic.py:420-422) —
+    # measurement campaigns record this so a stopped-early row is
+    # interpretable without the verbose log
+    stop_reason: str = "completed"
 
 
 def make_optimizer(recipe: Recipe, *, lr_schedule: str | None = None,
@@ -261,6 +267,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         nonlocals["total_iou"] += iou
         nonlocals["count"] += 1
 
+    stop_reason = "completed"
     for epoch in range(epochs):
         acc = {"total_loss": 0.0, "total_iou": 0.0, "count": 0}
         lagged = None   # dispatched step whose metrics are in flight
@@ -357,12 +364,15 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
             manager.save_latest(ts)
 
         if max_steps is not None and steps_done >= max_steps:
+            stop_reason = "max_steps"
             break
         if guard(avg_iou):
+            stop_reason = "overfit_guard"
             if verbose:
                 print("overfit guard triggered")
             break
         if early(avg_loss):
+            stop_reason = "early_stop"
             if verbose:
                 print("early stopping triggered")
             break
@@ -372,7 +382,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     logger.close()
     manager.wait()   # all async checkpoint writes durable before return
     return TrainResult(ts, history, best_loss, best_iou,
-                       meter.images_per_sec())
+                       meter.images_per_sec(), stop_reason)
 
 
 def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,

@@ -291,6 +291,28 @@ def test_ckpt_every_decoupled_from_log_every(tmp_path, monkeypatch):
     assert len(calls) >= 3
 
 
+def test_stop_reason_recorded(tmp_path):
+    """TrainResult.stop_reason distinguishes a budget-exhausted run from
+    the reference's two circuit breakers — measurement campaigns
+    (plateau, fraction sweep) record it per row so a stopped-early run
+    is interpretable without the verbose log."""
+    import dataclasses
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop as loop_lib
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=16, batch_size=2)
+    res = loop_lib.train(rec, None, str(tmp_path), max_epochs=1,
+                         log_every=0, verbose=False,
+                         save_checkpoints=False)
+    assert res.stop_reason == "completed"
+    res = loop_lib.train(rec, None, str(tmp_path), max_epochs=5,
+                         max_steps=3, log_every=0, verbose=False,
+                         save_checkpoints=False)
+    assert res.stop_reason == "max_steps"
+
+
 def test_save_checkpoints_off_writes_nothing(tmp_path):
     """save_checkpoints=False (measurement runs: fraction sweep, plateau
     campaign) must skip every save cadence — epoch-end latest, best-on-

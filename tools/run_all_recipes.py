@@ -66,7 +66,11 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
         # workdir is deleted below — per-epoch full-state saves would only
         # add a large D2H per epoch (dominant in --plateau's long runs)
         res = loop.train(rec, data_root, workdir, max_epochs=epochs,
-                         log_every=0, verbose=False,
+                         log_every=0,
+                         # plateau runs are long; keep the per-epoch lines
+                         # in the campaign log so a stopped run is
+                         # diagnosable after the fact
+                         verbose=step_budget is not None,
                          save_checkpoints=False,
                          compute_dtype="bfloat16")
         traj = [round(h["loss"], 4) for h in res.history]
@@ -76,6 +80,11 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
             "epochs_run": len(res.history),
             "epochs_budget": epochs,
             "stopped_before_budget": len(res.history) < epochs,
+            # "early_stop" = the loss plateaued (patience 10);
+            # "overfit_guard" = the reference's mIoU circuit breaker
+            # (ade_semantic.py:420-422) fired first
+            "stop_reason": res.stop_reason,
+            "best_train_miou": round(res.best_iou, 4),
             "loss_trajectory": traj,
             "loss_decreased": traj[-1] < traj[0],
             "train_loss": round(res.history[-1]["loss"], 4),
@@ -199,6 +208,9 @@ def main() -> None:
     else:
         summary = {"epochs": args.epochs, "n_train_images": args.n,
                    "lr_override": args.lr,
+                   "plateau": args.plateau,
+                   "step_budget": (args.step_budget if args.plateau
+                                   else None),
                    "throughput_note": ("loop_img_per_sec_compile_dominated"
                                        " is a short-run loop rate; bench.py"
                                        " is the representative number"),

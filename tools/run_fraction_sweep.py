@@ -81,6 +81,7 @@ def main() -> None:
                     "train_loss": res.best_loss,
                     "train_miou": res.best_iou,
                     "epochs_run": float(len(res.history)),
+                    "stop_reason": res.stop_reason,
                     "loop_img_per_sec_compile_dominated":
                         res.images_per_sec,
                     "val_miou": pan["miou"],
@@ -89,6 +90,9 @@ def main() -> None:
                 })
             record = {"fraction": frac}
             for k in per_seed[0]:
+                if k == "stop_reason":
+                    record["stop_reasons"] = [r[k] for r in per_seed]
+                    continue
                 record[k] = sum(r[k] for r in per_seed) / len(per_seed)
             record["seeds"] = args.seeds
             if args.seeds > 1:
