@@ -83,6 +83,15 @@ def main(argv=None) -> int:
                     help="seeded random train-set fraction (sweep support)")
     tp.add_argument("--debug-nan", action="store_true",
                     help="raise on non-finite step metrics")
+    tp.add_argument("--step-timeout", type=float, default=None,
+                    metavar="SEC",
+                    help="warn if no training step completes for SEC "
+                         "seconds (hung device / dead tunnel detection; "
+                         "size it above the first-step compile, ~100s)")
+    tp.add_argument("--step-timeout-abort", action="store_true",
+                    help="with --step-timeout: exit 42 on a stall "
+                         "instead of warning, so a supervisor can "
+                         "restart the run with --resume")
     tp.add_argument("--no-cache", action="store_true",
                     help="disable the in-RAM decoded-example cache")
     tp.add_argument("--remat-attention", action="store_true",
@@ -298,6 +307,8 @@ def main(argv=None) -> int:
             eval_max_batches=args.eval_max_batches,
             init_from=args.init_from, init_drop=tuple(args.init_drop),
             cache_examples=not args.no_cache,
+            step_timeout=args.step_timeout,
+            step_timeout_abort=args.step_timeout_abort,
             profile_dir=args.profile_dir,
             profile_steps=args.profile_steps)
         print(json.dumps({

@@ -113,6 +113,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           init_drop: tuple[str, ...] = (),
           cache_examples: bool = True,
           save_checkpoints: bool = True,
+          step_timeout: float | None = None,
+          step_timeout_abort: bool = False,
           profile_dir: str | None = None,
           profile_steps: int = 5) -> TrainResult:
     train_ds, val_ds, num_classes = make_datasets(recipe, data_root)
@@ -267,6 +269,20 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         nonlocals["total_iou"] += iou
         nonlocals["count"] += 1
 
+    # --step-timeout: fail-fast on a hung device step (a wedged remote-
+    # device tunnel blocks float(metrics) forever and Python cannot
+    # interrupt it; the watchdog warns — or exits 42 for a supervisor to
+    # restart with --resume). Sized by the caller: must exceed the worst
+    # legitimate gap (first-step compile, ~100s at 128px). Entered
+    # manually with a finally below rather than indenting the epoch loop.
+    watchdog = None
+    beat = lambda *_: None   # noqa: E731
+    if step_timeout:
+        from maskunet_tpu.utils.profiling import StallWatchdog
+        watchdog = StallWatchdog(step_timeout, abort=step_timeout_abort)
+        watchdog.__enter__()
+        beat = watchdog.beat
+
     stop_reason = "completed"
     for epoch in range(epochs):
         acc = {"total_loss": 0.0, "total_iou": 0.0, "count": 0}
@@ -289,6 +305,9 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                         _consume(lagged, acc)
                     lagged = metrics
                 steps_done += 1
+                # progress = the step was dispatched AND the lagged sync
+                # above returned — exactly what a wedged device blocks
+                beat(f"epoch {epoch + 1} step {steps_done}")
                 if profile_start >= 0:
                     _maybe_profile(metrics)
                 if log_every and i % log_every == 0 and i != 0 and verbose \
@@ -377,6 +396,8 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 print("early stopping triggered")
             break
 
+    if watchdog is not None:
+        watchdog.__exit__(None, None, None)
     if profiling:   # run ended inside the trace window (max_steps, early
         jax.profiler.stop_trace()   # stop, tiny dataset) — still flush it
     logger.close()

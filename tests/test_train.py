@@ -313,6 +313,23 @@ def test_stop_reason_recorded(tmp_path):
     assert res.stop_reason == "max_steps"
 
 
+def test_step_timeout_watchdog_through_loop(tmp_path):
+    """--step-timeout threads a StallWatchdog around the step loop; a
+    healthy run beats it every step and finishes clean (the stall path
+    itself is unit-tested in test_utils)."""
+    import dataclasses
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop as loop_lib
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=16, batch_size=2)
+    res = loop_lib.train(rec, None, str(tmp_path), max_epochs=1,
+                         log_every=0, verbose=False,
+                         save_checkpoints=False, step_timeout=600.0)
+    assert res.stop_reason == "completed" and len(res.history) == 1
+
+
 def test_save_checkpoints_off_writes_nothing(tmp_path):
     """save_checkpoints=False (measurement runs: fraction sweep, plateau
     campaign) must skip every save cadence — epoch-end latest, best-on-

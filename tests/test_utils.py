@@ -43,3 +43,52 @@ def test_nan_guard():
     nan_guard({"loss": np.float32(1.0)})
     with pytest.raises(NonFiniteError, match="loss"):
         nan_guard({"loss": np.float32("nan")})
+
+
+def test_stall_watchdog_fires_and_beat_resets():
+    """StallWatchdog (SURVEY.md §5 failure detection): fires on_stall
+    when no beat arrives within the timeout; a beating loop never
+    stalls; warn-only mode keeps the process alive and re-arms."""
+    import time
+
+    from maskunet_tpu.utils.profiling import StallWatchdog
+
+    fired = []
+    with StallWatchdog(0.15, poll_s=0.02,
+                       on_stall=lambda el, ctx: fired.append(ctx)) as wd:
+        wd.beat("step 1")
+        time.sleep(0.4)   # stall: > timeout with no beat
+    assert fired and fired[0] == "step 1"
+    assert wd.stalls >= 1
+
+    fired.clear()
+    with StallWatchdog(0.3, poll_s=0.02,
+                       on_stall=lambda el, ctx: fired.append(ctx)) as wd:
+        for i in range(8):   # beating faster than the timeout: no stall
+            wd.beat(f"step {i}")
+            time.sleep(0.05)
+    assert not fired and wd.stalls == 0
+
+
+def test_stall_watchdog_abort_exits_42():
+    """abort=True hard-exits with the documented supervisor-visible
+    code (a blocked device sync cannot raise, so exit is the only
+    fail-fast available). Run in a subprocess: os._exit would take
+    pytest down with it."""
+    import subprocess
+    import sys
+
+    from maskunet_tpu.utils.profiling import StallWatchdog
+
+    code = (
+        "import time\n"
+        "from maskunet_tpu.utils.profiling import StallWatchdog\n"
+        "with StallWatchdog(0.1, poll_s=0.02, abort=True):\n"
+        "    time.sleep(30)\n"
+        "print('unreachable')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=60)
+    assert proc.returncode == StallWatchdog.EXIT_CODE
+    assert "watchdog" in proc.stderr
+    assert "unreachable" not in proc.stdout
