@@ -90,6 +90,48 @@ def test_fraction_sweep_at_reference_hparams_is_monotone():
         assert vals[0] > 0.0, key
 
 
+def test_plateau_artifact_reaches_demo_band_or_documents_gap():
+    """VERDICT r4 #3: plateau-bounded convergence at reference lrs.
+
+    recipes_plateau.json records tools/run_all_recipes.py --plateau runs:
+    each learnable recipe trains at its REFERENCE hyperparameters with
+    EarlyStopping(patience=10, reference ade_semantic.py:382) plus the
+    reference's overfit guard until it stops on its own (or exhausts a
+    uniform 20k-step budget). Every metric must either reach the 8-epoch
+    demo-lr band (within the recorded tolerance) or carry a written,
+    measured explanation in documented_gaps.
+    """
+    data = _load("recipes_plateau.json")
+    assert data.get("lr_override") is None
+    assert data.get("plateau") is True
+    rows = {r["recipe"]: r for r in data["rows"]}
+    # the two lr=1e-2 recipes are the ref-lr artifact's documented
+    # real-data-scale exceptions; everything else must be here
+    exceptions = set(_load("recipes_e2e_ref_lr.json")
+                     .get("documented_exceptions", {}))
+    assert exceptions == {"ade_instance", "city_panoptic"}
+    assert set(rows) == _ALL_RECIPES - exceptions
+    tol = data["band_tolerance"]
+    comparison = data["band_comparison"]
+    gaps = data["documented_gaps"]
+    for name, r in rows.items():
+        # the run terminated by its own stopping logic, not a crash
+        assert r["stop_reason"] in ("early_stop", "overfit_guard",
+                                    "completed"), (name, r["stop_reason"])
+        assert r["loss_decreased"], name
+        # plateau = the run got PAST the 8-epoch snapshot regime
+        assert r["epochs_run"] > 8, (name, r["epochs_run"])
+        for metric, c in comparison[name].items():
+            # the comparison was computed against the committed demo
+            # artifact and each miss carries a written explanation
+            if c["plateau"] < c["demo_band"] - tol:
+                assert not c["reaches_band"]
+                doc = gaps.get(f"{name}.{metric}", "")
+                assert len(doc) > 50, (name, metric, c)
+            else:
+                assert c["reaches_band"], (name, metric, c)
+
+
 def test_ref_lr_artifact_shows_learning_at_reference_hparams():
     """VERDICT r3 #2: convergence at the reference lrs (no override).
 
