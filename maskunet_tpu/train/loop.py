@@ -15,6 +15,7 @@ import dataclasses
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from maskunet_tpu.core import checkpoint as ckpt_lib
@@ -41,6 +42,11 @@ class TrainResult:
     # measurement campaigns record this so a stopped-early row is
     # interpretable without the verbose log
     stop_reason: str = "completed"
+    # keep_best_state=True: the state at the EarlyStopping best-loss epoch
+    # (the reference persists exactly this via its best checkpoint and
+    # reloads it on the next script run, ade_panoptic.py:432-435) — None
+    # when the option is off or no epoch ever improved
+    best_state: state_lib.TrainState | None = None
 
 
 def make_optimizer(recipe: Recipe, *, lr_schedule: str | None = None,
@@ -113,6 +119,7 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
           init_drop: tuple[str, ...] = (),
           cache_examples: bool = True,
           save_checkpoints: bool = True,
+          keep_best_state: bool = False,
           step_timeout: float | None = None,
           step_timeout_abort: bool = False,
           profile_dir: str | None = None,
@@ -217,9 +224,22 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     # `current` indirection: the callback must save the state at call time,
     # not the init-time binding.
     current: dict[str, Any] = {"ts": ts}
-    early = EarlyStopping(
-        recipe.patience, verbose=verbose,
-        on_improve=lambda: save_lead and manager.save_best(current["ts"]))
+    # keep_best_state: device-side copy of (params, BN stats) at each
+    # best-loss epoch — the in-memory analog of the reference's best
+    # checkpoint for measurement runs with save_checkpoints=False. An
+    # HBM-resident jnp.copy (~100 MB at 24.7 M params), not a D2H pull,
+    # so long plateau campaigns don't pay a host transfer per improvement.
+    best_snap: dict[str, Any] = {}
+
+    def _on_improve() -> None:
+        if save_lead:
+            manager.save_best(current["ts"])
+        if keep_best_state:
+            best_snap["pm"] = jax.tree.map(
+                jnp.copy, (current["ts"].params, current["ts"].model_state))
+
+    early = EarlyStopping(recipe.patience, verbose=verbose,
+                          on_improve=_on_improve)
     guard = OverfitGuard(recipe.overfit_margin)
 
     # grad_accum / pipeline_microbatches > 1: the loop feeds
@@ -402,8 +422,13 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         jax.profiler.stop_trace()   # stop, tiny dataset) — still flush it
     logger.close()
     manager.wait()   # all async checkpoint writes durable before return
+    best_state = None
+    if "pm" in best_snap:
+        bp, bm = best_snap["pm"]
+        best_state = ts.replace(params=bp, model_state=bm)
     return TrainResult(ts, history, best_loss, best_iou,
-                       meter.images_per_sec(), stop_reason)
+                       meter.images_per_sec(), stop_reason,
+                       best_state=best_state)
 
 
 def _evaluate_state(recipe: Recipe, cfg, ts, val_ds, *, sharding=None,

@@ -313,6 +313,44 @@ def test_stop_reason_recorded(tmp_path):
     assert res.stop_reason == "max_steps"
 
 
+def test_keep_best_state_snapshots_early_stop_best(tmp_path):
+    """keep_best_state=True returns the state at the EarlyStopping
+    best-loss epoch (the reference reloads exactly that checkpoint on
+    its next script run, ade_panoptic.py:432-435) — it must survive the
+    donating train step and differ from post-best final weights."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop as loop_lib
+
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=16, batch_size=2)
+    res = loop_lib.train(rec, None, str(tmp_path), max_epochs=3,
+                         log_every=0, verbose=False,
+                         save_checkpoints=False, keep_best_state=True)
+    assert res.best_state is not None
+    # best epoch's params are usable (buffers not donated away)
+    leaves = jax.tree_util.tree_leaves(
+        jax.device_get(res.best_state.params))
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    best_losses = [h["loss"] for h in res.history]
+    if best_losses.index(min(best_losses)) < len(best_losses) - 1:
+        # best epoch was not the last -> snapshot must differ from final
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(abs(a - b).max()),
+            jax.device_get(res.best_state.params),
+            jax.device_get(res.state.params))
+        assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+    # off by default: no snapshot kept
+    res2 = loop_lib.train(rec, None, str(tmp_path), max_epochs=1,
+                          log_every=0, verbose=False,
+                          save_checkpoints=False)
+    assert res2.best_state is None
+
+
 def test_step_timeout_watchdog_through_loop(tmp_path):
     """--step-timeout threads a StallWatchdog around the step loop; a
     healthy run beats it every step and finishes clean (the stall path

@@ -30,6 +30,34 @@ def peak_hbm_gib() -> float | None:
     return round(peak / 2**30, 3) if peak else None
 
 
+def compiled_hbm_gib(jfn, *args) -> dict | None:
+    """XLA's own memory accounting for the compiled executable.
+
+    Remote-device backends (the axon tunnel) don't expose runtime
+    memory_stats, so the capability number comes from the compiler:
+    argument + output + temp (activations/workspace) bytes of the exact
+    executable being timed. This is the allocation XLA reserves — the
+    binding figure for 'does it fit', independent of allocator noise.
+    """
+    try:
+        ma = jfn.lower(*args).compile().memory_analysis()
+        if ma is None:
+            return None
+        args_b = int(ma.argument_size_in_bytes)
+        out_b = int(ma.output_size_in_bytes)
+        tmp_b = int(ma.temp_size_in_bytes)
+        # donated inputs alias outputs; XLA reports alias bytes separately
+        alias_b = int(getattr(ma, "alias_size_in_bytes", 0))
+        return {
+            "hbm_args_gib": round(args_b / 2**30, 3),
+            "hbm_temp_gib": round(tmp_b / 2**30, 3),
+            "hbm_total_gib": round(
+                (args_b + out_b + tmp_b - alias_b) / 2**30, 3),
+        }
+    except Exception:
+        return None
+
+
 def run(img: int, batch: int, steps: int, train: bool) -> dict:
     import jax
     import jax.numpy as jnp
@@ -59,6 +87,7 @@ def run(img: int, batch: int, steps: int, train: bool) -> dict:
             step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx,
                                      mask_plans=mask_plans),
             donate_argnums=(0,))
+        mem = compiled_hbm_gib(fn, ts, {"image": x, "label": labels})
         ts, m = fn(ts, {"image": x, "label": labels})
         assert np.isfinite(float(m["loss"]))
         t0 = time.perf_counter()
@@ -76,6 +105,7 @@ def run(img: int, batch: int, steps: int, train: bool) -> dict:
                               mask_plans=mask_plans)
             return out.semantic
 
+        mem = compiled_hbm_gib(fwd, infer_params, x)
         out = fwd(infer_params, x)
         assert np.isfinite(float(out[0, 0, 0, 0]))
         t0 = time.perf_counter()
@@ -83,7 +113,7 @@ def run(img: int, batch: int, steps: int, train: bool) -> dict:
             out = fwd(infer_params, x)
         float(out[0, 0, 0, 0])
     dt = time.perf_counter() - t0
-    return {
+    row = {
         "phase": "train" if train else "inference",
         "img_size": img,
         "batch": batch,
@@ -91,6 +121,9 @@ def run(img: int, batch: int, steps: int, train: bool) -> dict:
         "ms_per_image": round(1000 * dt / (batch * steps), 2),
         "peak_hbm_gib": peak_hbm_gib(),
     }
+    if mem:
+        row.update(mem)
+    return row
 
 
 def _child(img: int, batch: int, steps: int, phase: str) -> None:

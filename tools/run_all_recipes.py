@@ -72,6 +72,12 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
                          # diagnosable after the fact
                          verbose=step_budget is not None,
                          save_checkpoints=False,
+                         # plateau mode also evaluates the EarlyStopping
+                         # best-loss state — the reference reloads exactly
+                         # that checkpoint on its next script run
+                         # (ade_panoptic.py:432-435), and the overfit
+                         # guard otherwise leaves post-dip final weights
+                         keep_best_state=step_budget is not None,
                          compute_dtype="bfloat16")
         traj = [round(h["loss"], 4) for h in res.history]
         out = {
@@ -96,37 +102,45 @@ def run_recipe(name: str, epochs: int, *, n_data: int = 24,
         }
         if lr is not None:
             out["lr_override"] = lr
-        sem = evaluators.evaluate_semantic(rec, data_root, res.state,
-                                           compute_dtype="bfloat16")
-        out["val_miou"] = round(sem["miou"], 4)
-        out["val_loss"] = round(sem["loss"], 4)
-        if rec.task == "panoptic":
-            export = os.path.join(workdir, "export")
-            pan = evaluators.evaluate_panoptic(rec, data_root, res.state,
-                                               max_batches=eval_batches,
-                                               export_dir=export)
-            out["pq"] = round(pan["pq"]["All"]["pq"], 4)
-            out["pq_things"] = round(pan["pq"].get(
-                "Things", {"pq": -1.0})["pq"], 4)
-            out["ap"] = round(pan["ap"]["AP"], 4)
-            out["exported"] = os.path.exists(
-                os.path.join(export, "predictions.json"))
-        elif rec.task == "instance":
-            q = rec.eval_max_queries[-1]
-            inst = evaluators.evaluate_instances(
-                rec, data_root, res.state, max_queries=(q,),
-                max_batches=eval_batches)
-            out["ap"] = round(inst[q]["AP"], 4)
-            if name == "coco_instance":
-                # the gate ASSERTS (not skips) the documented degenerate
-                # recipe: summed-target classes are overlap counts
-                # (reference coco_instance.py:331-341), so AP is
-                # class-agnostic and structurally degenerate — PARITY.md
-                # §2.4. --require-nonzero still demands it be recorded
-                # and > 0 through the full RLE/COCOeval path.
-                out["ap_note"] = ("class-agnostic AP over summed-target "
-                                  "maps; degenerate by reference design "
-                                  "(PARITY.md §2.4)")
+        def _eval_state(ts, suffix: str, export_dir: str | None) -> None:
+            sem = evaluators.evaluate_semantic(rec, data_root, ts,
+                                               compute_dtype="bfloat16")
+            out["val_miou" + suffix] = round(sem["miou"], 4)
+            out["val_loss" + suffix] = round(sem["loss"], 4)
+            if rec.task == "panoptic":
+                pan = evaluators.evaluate_panoptic(
+                    rec, data_root, ts, max_batches=eval_batches,
+                    export_dir=export_dir)
+                out["pq" + suffix] = round(pan["pq"]["All"]["pq"], 4)
+                out["pq_things" + suffix] = round(pan["pq"].get(
+                    "Things", {"pq": -1.0})["pq"], 4)
+                out["ap" + suffix] = round(pan["ap"]["AP"], 4)
+                if export_dir is not None:
+                    out["exported"] = os.path.exists(
+                        os.path.join(export_dir, "predictions.json"))
+            elif rec.task == "instance":
+                q = rec.eval_max_queries[-1]
+                inst = evaluators.evaluate_instances(
+                    rec, data_root, ts, max_queries=(q,),
+                    max_batches=eval_batches)
+                out["ap" + suffix] = round(inst[q]["AP"], 4)
+
+        _eval_state(res.state, "", os.path.join(workdir, "export"))
+        if res.best_state is not None:
+            # "_best" = metrics from the EarlyStopping best-loss state —
+            # what the reference's next script run would evaluate after
+            # reloading its best checkpoint (ade_panoptic.py:432-435)
+            _eval_state(res.best_state, "_best", None)
+        if name == "coco_instance":
+            # the gate ASSERTS (not skips) the documented degenerate
+            # recipe: summed-target classes are overlap counts
+            # (reference coco_instance.py:331-341), so AP is
+            # class-agnostic and structurally degenerate — PARITY.md
+            # §2.4. --require-nonzero still demands it be recorded
+            # and > 0 through the full RLE/COCOeval path.
+            out["ap_note"] = ("class-agnostic AP over summed-target "
+                              "maps; degenerate by reference design "
+                              "(PARITY.md §2.4)")
         return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
