@@ -159,8 +159,15 @@ def main() -> None:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--img", str(args.img), "--steps", str(args.steps),
                    "--child", phase, str(batch)]
-            res = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
-                                 timeout=1800)
+            try:
+                res = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                     text=True, timeout=1800)
+            except subprocess.TimeoutExpired:
+                # a tunnel stall on one row must not lose the rest
+                print(json.dumps({
+                    "phase": phase, "img_size": args.img, "batch": batch,
+                    "error": "child timed out (1800s)"}), flush=True)
+                continue
             lines = [ln for ln in (res.stdout or "").splitlines() if ln]
             if res.returncode == 0 and lines:
                 print(lines[-1], flush=True)
