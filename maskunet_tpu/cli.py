@@ -112,8 +112,8 @@ def main(argv=None) -> int:
                          "(encoder | decoder over the first two devices); "
                          "one global loss and optimizer update per step. "
                          "Composes with --n-data N (a data x pipe mesh "
-                         "over N*2 devices); mutually exclusive with "
-                         "--grad-accum")
+                         "over N*2 devices) and with --grad-accum K "
+                         "(K accumulated flushes per optimizer update)")
     tp.add_argument("--lr-schedule", default=None,
                     choices=["cosine", "warmup_cosine", "step"],
                     help="optional lr schedule (default: the reference's "

@@ -142,12 +142,11 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     # DP composes: a mesh carrying a 'pipe' axis (make_dp_pipe_mesh, built
     # by the CLI for --pipeline + --n-data) becomes the executor's dp x pp
     # mesh, with the batch sharded over its 'data' axis.
+    # grad_accum composes as an outer loop: grad_accum GPipe flushes of
+    # pipeline_microbatches microbatches each, one optimizer update.
     pipe_mesh = None
     pp_micro = max(pipeline_microbatches, 1)
     if pp_micro > 1:
-        if grad_accum > 1:
-            raise ValueError("--pipeline and --grad-accum are mutually "
-                             "exclusive (both split the step's batch)")
         from maskunet_tpu.parallel import pipeline as pp_lib
         if mesh is None:
             pipe_mesh = pp_lib.make_pipe_mesh()

@@ -99,16 +99,17 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     mesh from `pipeline.make_dp_pipe_mesh` as `pipe_mesh` (the executor is
     manual over `pipe` only; batch sharded over the auto `data` axis) —
     the separate `mesh` argument is for the NON-pipelined path's in-model
-    annotations and stays mutually exclusive. Also exclusive with
-    `grad_accum > 1`. Loss-weighting nuance vs grad_accum: the global CE
-    mean weights every valid pixel equally, while grad_accum averages
-    per-microbatch means — they differ only when `ignore_index` leaves
-    unequal valid counts per microbatch."""
+    annotations and stays mutually exclusive. `grad_accum` composes as an
+    OUTER loop: each of the grad_accum accumulation chunks (batch_size *
+    pipe_microbatches rows) runs one full GPipe flush, and gradients are
+    averaged over chunks into one optimizer update (effective batch =
+    batch_size * pipe_microbatches * grad_accum). Loss-weighting nuance
+    vs grad_accum: the pipelined loss is a global CE mean weighting every
+    valid pixel of a flush equally, while grad_accum averages per-chunk
+    means — they differ only when `ignore_index` leaves unequal valid
+    counts per chunk."""
     if pipe_mesh is not None:
         pipeline_lib.validate_pipe_mesh(pipe_mesh)
-        if grad_accum > 1:
-            raise ValueError("pipeline parallelism and grad_accum are "
-                             "mutually exclusive (both split the batch)")
         if mesh is not None:
             raise ValueError("pass DP/TP either as `mesh` (non-pipelined) "
                              "or as a ('data', 'pipe') `pipe_mesh` "
@@ -164,7 +165,11 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
                 ts.params, ts.model_state, batch, masks, plans, dropout_rng,
                 triplet_rng)
         else:
-            stacked = {k: v.reshape((grad_accum, micro) + v.shape[1:])
+            # with pipeline parallelism each accumulation chunk is itself
+            # pipe_microbatches microbatches — the GPipe executor splits
+            # it again inside loss_fn
+            chunk = micro * pipe_microbatches
+            stacked = {k: v.reshape((grad_accum, chunk) + v.shape[1:])
                        for k, v in batch.items()}
 
             def body(carry, mb):

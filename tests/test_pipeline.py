@@ -255,13 +255,74 @@ def test_pipeline_step_rejects_bad_combinations(setup):
 
     cfg, _, _, _, mesh, _ = setup
     tx = optax.adamw(1e-3)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx,
-                                 pipe_mesh=mesh, pipe_microbatches=2,
-                                 grad_accum=2)
     with pytest.raises(ValueError, match=">= 2"):
         step_lib.make_train_step(cfg, step_lib.TaskConfig(), tx,
                                  pipe_mesh=mesh, pipe_microbatches=1)
+
+
+def test_pipeline_grad_accum_matches_sequential_update(setup):
+    """grad_accum composes with pipeline parallelism as an OUTER loop:
+    grad_accum GPipe flushes per optimizer step, gradients averaged over
+    flushes. Must equal the sequential reference: per-flush global CE
+    (BN state threaded through flushes in order), grads at the same
+    initial params, averaged, one SGD update."""
+    import optax
+
+    from maskunet_tpu.core import state as state_lib
+    from maskunet_tpu.losses.cross_entropy import cross_entropy
+    from maskunet_tpu.train import step as step_lib
+
+    GA = 2
+    cfg, params, state, masks, mesh, _ = setup
+    x = jax.random.normal(jax.random.key(7), (GA * M * MB, IMG, IMG, 3))
+    labels = jax.random.randint(jax.random.key(8), (GA * M * MB, IMG, IMG),
+                                0, COUT)
+    batch = {"image": x, "label": labels}
+
+    tx = optax.sgd(0.1)   # linear in the grad; see the test above
+    ts = state_lib.create(jax.random.key(9), params, state, tx, masks=masks)
+    step = jax.jit(step_lib.make_train_step(
+        cfg, step_lib.TaskConfig(), tx, pipe_mesh=mesh,
+        pipe_microbatches=M, grad_accum=GA))
+    ts2, metrics = step(ts, batch)
+
+    chunks = x.reshape((GA, M * MB, IMG, IMG, 3))
+    lab_chunks = labels.reshape((GA, M * MB, IMG, IMG))
+
+    def chunk_loss(p, st, g):
+        xm = pp.split_microbatches(chunks[g], M)
+        outs = []
+        for i in range(M):
+            o, st = mu.apply(p, st, xm[i], cfg=cfg, masks=masks,
+                             train=True)
+            outs.append(o.semantic)
+        logits = jnp.concatenate(outs).astype(jnp.float32)
+        return cross_entropy(logits, lab_chunks[g], None), st
+
+    @jax.jit
+    def reference(p):
+        st = state
+        gsum = jax.tree.map(jnp.zeros_like, p)
+        losses = []
+        for g in range(GA):
+            (l, st), grads = jax.value_and_grad(
+                chunk_loss, has_aux=True)(p, st, g)
+            gsum = jax.tree.map(lambda a, b: a + b, gsum, grads)
+            losses.append(l)
+        gavg = jax.tree.map(lambda a: a / GA, gsum)
+        updates, _ = tx.update(gavg, ts.opt_state, p)
+        return (jax.tree.map(lambda a, b: a + b, p, updates), st,
+                jnp.mean(jnp.stack(losses)))
+
+    params_ref, st_ref, loss_ref = reference(ts.params)
+    assert abs(float(metrics["loss"]) - float(loss_ref)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ts2.params),
+                    jax.tree.leaves(params_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+    for a, b in zip(jax.tree.leaves(ts2.model_state),
+                    jax.tree.leaves(st_ref)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+    assert int(ts2.step) == 1
 
 
 def test_train_loop_pipeline_smoke(tmp_path):
