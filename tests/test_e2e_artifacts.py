@@ -164,3 +164,58 @@ def test_ref_lr_artifact_shows_learning_at_reference_hparams():
             assert r["pq"] > 0.0, n
         if "ap" in r:
             assert r["ap"] > 0.0, n
+
+
+def test_plateau_band_comparison_matches_rebuild_tool():
+    """band_comparison must be exactly what tools/plateau_bands.py
+    derives from the rows — the committed comparison can't drift from
+    the committed evidence (it was hand-assembled once; now locked)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_ROOT, "tools"))
+    import plateau_bands
+
+    plateau = _load("recipes_plateau.json")
+    demo = _load("recipes_e2e.json")
+    comparison, misses = plateau_bands.build_comparison(plateau, demo)
+    assert comparison == plateau["band_comparison"]
+    assert {f"{n}.{m}" for n, m in misses} == set(
+        plateau["documented_gaps"])
+
+
+def test_plateau_bands_tool_prefers_best_checkpoint_eval():
+    """The best-checkpoint eval columns (keep_best_state runs) are the
+    reference-faithful plateau figure (it reloads its best checkpoint,
+    ade_panoptic.py:432-435): the tool must use max(final, best), record
+    both, and apply the band tolerance on the miss edge."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_ROOT, "tools"))
+    import plateau_bands
+
+    plateau = {
+        "band_tolerance": 0.02,
+        "rows": [
+            # best rescues a post-dip final -> reaches band
+            {"recipe": "a", "val_miou": 0.80, "val_miou_best": 0.93},
+            # no best column -> final used; inside tolerance edge
+            {"recipe": "b", "val_miou": 0.885},
+            # best present but still a miss
+            {"recipe": "c", "pq": 0.70, "pq_best": 0.75},
+        ],
+    }
+    demo = {"rows": [
+        {"recipe": "a", "val_miou": 0.92},
+        {"recipe": "b", "val_miou": 0.90},
+        {"recipe": "c", "pq": 0.90},
+    ]}
+    comparison, misses = plateau_bands.build_comparison(plateau, demo)
+    a = comparison["a"]["val_miou"]
+    assert a["plateau"] == 0.93 and a["reaches_band"]
+    assert a["plateau_final"] == 0.80 and a["plateau_best"] == 0.93
+    b = comparison["b"]["val_miou"]
+    assert b["plateau"] == 0.885 and b["reaches_band"]
+    assert "plateau_best" not in b
+    c = comparison["c"]["pq"]
+    assert c["plateau"] == 0.75 and not c["reaches_band"]
+    assert misses == [("c", "pq")]
