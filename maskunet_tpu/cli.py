@@ -101,7 +101,8 @@ def main(argv=None) -> int:
                          "resolutions; numerics are unchanged)")
     tp.add_argument("--grad-accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step "
-                         "(effective batch = batch_size * grad_accum)")
+                         "(effective batch = batch_size * grad_accum, "
+                         "times M when composed with --pipeline M)")
     tp.add_argument("--img-size", type=int, default=None,
                     help="override the recipe's training resolution "
                          "(e.g. 16/32 for CPU smoke runs; checkpoints "

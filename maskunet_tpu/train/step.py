@@ -84,7 +84,8 @@ def make_train_step(cfg: model.MaskAttnUNetConfig, task: TaskConfig,
     microbatches processed sequentially under `lax.scan`; gradients are
     averaged into ONE optimizer update (large effective batches beyond
     per-chip memory). The cached attention masks apply per microbatch, so
-    `ts.masks` must be sized for batch/grad_accum. BatchNorm batch
+    `ts.masks` must be sized for batch/(grad_accum*pipe_microbatches) —
+    the model-forward microbatch, whichever knobs split it. BatchNorm batch
     statistics are per-microbatch (running stats thread through the scan)
     — the same semantics as per-replica BN, documented divergence from a
     monolithic large batch.

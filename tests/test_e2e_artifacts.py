@@ -22,6 +22,18 @@ _ALL_RECIPES = {
 }
 
 
+def _load_tool(name):
+    """Import a tools/ script by path WITHOUT putting tools/ on sys.path
+    (30 script names would shadow imports for the rest of the session)."""
+    import importlib.util
+
+    path = os.path.join(_ROOT, "tools", name + ".py")
+    spec = importlib.util.spec_from_file_location(f"_tool_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _load(name):
     path = os.path.join(_ROOT, name)
     if not os.path.exists(path):
@@ -170,11 +182,7 @@ def test_plateau_band_comparison_matches_rebuild_tool():
     """band_comparison must be exactly what tools/plateau_bands.py
     derives from the rows — the committed comparison can't drift from
     the committed evidence (it was hand-assembled once; now locked)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(_ROOT, "tools"))
-    import plateau_bands
-
+    plateau_bands = _load_tool("plateau_bands")
     plateau = _load("recipes_plateau.json")
     demo = _load("recipes_e2e.json")
     comparison, misses = plateau_bands.build_comparison(plateau, demo)
@@ -188,11 +196,7 @@ def test_plateau_bands_tool_prefers_best_checkpoint_eval():
     reference-faithful plateau figure (it reloads its best checkpoint,
     ade_panoptic.py:432-435): the tool must use max(final, best), record
     both, and apply the band tolerance on the miss edge."""
-    import sys
-
-    sys.path.insert(0, os.path.join(_ROOT, "tools"))
-    import plateau_bands
-
+    plateau_bands = _load_tool("plateau_bands")
     plateau = {
         "band_tolerance": 0.02,
         "rows": [
@@ -219,3 +223,12 @@ def test_plateau_bands_tool_prefers_best_checkpoint_eval():
     c = comparison["c"]["pq"]
     assert c["plateau"] == 0.75 and not c["reaches_band"]
     assert misses == [("c", "pq")]
+    # a metric the demo artifact records but the re-run row LOST (e.g. a
+    # crashed eval) is a miss that demands documentation, not a silent
+    # skip that would also prune its existing gap prose
+    plateau["rows"].append({"recipe": "d", "val_miou": 0.5})
+    demo["rows"].append({"recipe": "d", "val_miou": 0.4, "pq": 0.9})
+    comparison, misses = plateau_bands.build_comparison(plateau, demo)
+    assert ("d", "pq") in misses
+    assert "pq" not in comparison["d"]
+    assert comparison["d"]["val_miou"]["reaches_band"]

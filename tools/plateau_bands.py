@@ -32,7 +32,9 @@ METRICS = ("val_miou", "pq", "ap")
 
 def build_comparison(plateau: dict, demo: dict) -> tuple[dict, list]:
     demo_rows = {r["recipe"]: r for r in demo["rows"]}
-    tol = plateau["band_tolerance"]
+    # freshly generated artifacts (run_all_recipes --plateau) carry the
+    # tolerance; older hand-assembled ones may not — same default
+    tol = plateau.get("band_tolerance", 0.02)
     comparison: dict = {}
     misses: list[tuple[str, str]] = []
     for row in plateau["rows"]:
@@ -40,7 +42,13 @@ def build_comparison(plateau: dict, demo: dict) -> tuple[dict, list]:
         d = demo_rows[name]
         comparison[name] = {}
         for metric in METRICS:
-            if metric not in d or metric not in row:
+            if metric not in d:
+                continue
+            if metric not in row:
+                # the demo artifact records this metric but the re-run
+                # row lost it (e.g. a crashed eval): that's a MISS that
+                # must be documented, not silently pruned
+                misses.append((name, metric))
                 continue
             final = row[metric]
             best = row.get(metric + "_best")

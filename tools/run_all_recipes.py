@@ -225,6 +225,10 @@ def main() -> None:
                    "plateau": args.plateau,
                    "step_budget": (args.step_budget if args.plateau
                                    else None),
+                   # tools/plateau_bands.py builds band_comparison from
+                   # this tolerance; written here so a fresh artifact is
+                   # self-contained
+                   **({"band_tolerance": 0.02} if args.plateau else {}),
                    "throughput_note": ("loop_img_per_sec_compile_dominated"
                                        " is a short-run loop rate; bench.py"
                                        " is the representative number"),
