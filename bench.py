@@ -57,9 +57,12 @@ def estimate_a100_baseline() -> float:
 REGRESSION_THRESHOLD = 0.9
 
 
-def best_recorded(root: str | None = None) -> float:
+def best_recorded(root: str | None = None, batch: int = 8) -> float:
     """Best headline img/s across the driver's BENCH_r*.json round records
-    (0.0 when none parse — e.g. a fresh checkout)."""
+    AT THE SAME batch size (0.0 when none match or parse — e.g. a fresh
+    checkout, or a `bench.py 2` run with only batch-8 history: comparing
+    across batch sizes would flag a healthy chip as regressed). Records
+    predating the batch field were all batch-8 runs."""
     import glob
     import os
 
@@ -69,6 +72,8 @@ def best_recorded(root: str | None = None) -> float:
         try:
             with open(path) as f:
                 rec = json.load(f)
+            if int(rec["parsed"].get("batch", 8)) != batch:
+                continue
             val = float(rec["parsed"]["value"])
         except (OSError, ValueError, KeyError, TypeError):
             continue
@@ -173,7 +178,7 @@ def _measure_and_print(batch: int) -> None:
     print(f"[bench] backend={backend} batch={batch} "
           f"infer={infer_ips:.1f} img/s train={train_ips:.1f} img/s "
           f"(A100 ref estimate {baseline} img/s infer)", file=sys.stderr)
-    extra = regression_fields(infer_ips, best_recorded())
+    extra = regression_fields(infer_ips, best_recorded(batch=batch))
     if extra.get("regressed"):
         print(f"[bench] REGRESSION: {infer_ips:.1f} img/s < "
               f"{REGRESSION_THRESHOLD:.0%} of best recorded "

@@ -292,8 +292,11 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
     # device tunnel blocks float(metrics) forever and Python cannot
     # interrupt it; the watchdog warns — or exits 42 for a supervisor to
     # restart with --resume). Sized by the caller: must exceed the worst
-    # legitimate gap (first-step compile, ~100s at 128px). Entered
-    # manually with a finally below rather than indenting the epoch loop.
+    # legitimate gap on the STEP path (first-step compile, ~100s at
+    # 128px); the epoch-end validation/checkpoint window is paused.
+    # Entered manually; the epoch loop's finally tears it down on every
+    # exit path (exceptions included — the daemon thread must not
+    # outlive train()).
     watchdog = None
     beat = lambda *_: None   # noqa: E731
     if step_timeout:
@@ -303,120 +306,136 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
         beat = watchdog.beat
 
     stop_reason = "completed"
-    for epoch in range(epochs):
-        acc = {"total_loss": 0.0, "total_iou": 0.0, "count": 0}
-        lagged = None   # dispatched step whose metrics are in flight
-        with pipeline.Prefetcher(batches.epoch(epoch),
-                                 sharding=sharding) as prefetcher:
-            for i, batch in enumerate(prefetcher):
-                batch.pop("valid", None)
-                ts, metrics = train_step(ts, batch)
-                current["ts"] = ts
-                meter.step(recipe.batch_size * micro_per_step)
-                if debug_nan:
-                    from maskunet_tpu.utils.profiling import nan_guard
-                    nan_guard(metrics, f"step {steps_done}")
-                    _consume(metrics, acc)
-                else:
-                    for v in metrics.values():
-                        v.copy_to_host_async()
-                    if lagged is not None:
-                        _consume(lagged, acc)
-                    lagged = metrics
-                steps_done += 1
-                # progress = the step was dispatched AND the lagged sync
-                # above returned — exactly what a wedged device blocks
-                beat(f"epoch {epoch + 1} step {steps_done}")
-                if profile_start >= 0:
-                    _maybe_profile(metrics)
-                if log_every and i % log_every == 0 and i != 0 and verbose \
-                        and acc["count"]:
-                    print(f"epoch {epoch + 1}: batch[{i}] "
-                          f"loss {acc['total_loss'] / acc['count']:.4f} "
-                          f"iou {acc['total_iou'] / acc['count']:.4f}")
-                # independent of log_every (the reference nests its save
-                # inside the print cadence, ade_semantic.py:408-412 — here
-                # that coupling silently disabled saves for log_every=0)
-                if ckpt_every and i % ckpt_every == 0 and i != 0 \
-                        and save_lead:
-                    manager.save_latest(ts)
-                if max_steps is not None and steps_done >= max_steps:
-                    break
-        if lagged is not None:
-            _consume(lagged, acc)
-        total_loss, total_iou = acc["total_loss"], acc["total_iou"]
-        count = acc["count"]
+    try:
+        for epoch in range(epochs):
+            acc = {"total_loss": 0.0, "total_iou": 0.0, "count": 0}
+            lagged = None   # dispatched step whose metrics are in flight
+            with pipeline.Prefetcher(batches.epoch(epoch),
+                                     sharding=sharding) as prefetcher:
+                for i, batch in enumerate(prefetcher):
+                    batch.pop("valid", None)
+                    ts, metrics = train_step(ts, batch)
+                    current["ts"] = ts
+                    meter.step(recipe.batch_size * micro_per_step)
+                    if debug_nan:
+                        from maskunet_tpu.utils.profiling import nan_guard
+                        nan_guard(metrics, f"step {steps_done}")
+                        _consume(metrics, acc)
+                    else:
+                        for v in metrics.values():
+                            v.copy_to_host_async()
+                        if lagged is not None:
+                            _consume(lagged, acc)
+                        lagged = metrics
+                    steps_done += 1
+                    # progress = the step was dispatched AND the lagged sync
+                    # above returned — exactly what a wedged device blocks
+                    beat(f"epoch {epoch + 1} step {steps_done}")
+                    if profile_start >= 0:
+                        _maybe_profile(metrics)
+                    if log_every and i % log_every == 0 and i != 0 and verbose \
+                            and acc["count"]:
+                        print(f"epoch {epoch + 1}: batch[{i}] "
+                              f"loss {acc['total_loss'] / acc['count']:.4f} "
+                              f"iou {acc['total_iou'] / acc['count']:.4f}")
+                    # independent of log_every (the reference nests its save
+                    # inside the print cadence, ade_semantic.py:408-412 — here
+                    # that coupling silently disabled saves for log_every=0)
+                    if ckpt_every and i % ckpt_every == 0 and i != 0 \
+                            and save_lead:
+                        manager.save_latest(ts)
+                    if max_steps is not None and steps_done >= max_steps:
+                        break
+            if lagged is not None:
+                _consume(lagged, acc)
+            total_loss, total_iou = acc["total_loss"], acc["total_iou"]
+            count = acc["count"]
 
-        if count == 0:
-            raise ValueError(
-                f"epoch produced no batches: train set has {len(train_ds)} "
-                f"examples < batch size {recipe.batch_size} (drop_last)")
-        avg_loss = total_loss / max(count, 1)
-        avg_iou = total_iou / max(count, 1)
-        best_loss = min(best_loss, avg_loss)
-        best_iou = max(best_iou, avg_iou)
-        record = {"epoch": epoch + 1, "loss": avg_loss, "miou": avg_iou,
-                  "step": steps_done,
-                  "images_per_sec": round(meter.images_per_sec(), 2)}
-        if eval_every and (epoch + 1) % eval_every == 0:
-            # periodic in-training validation (the reference's
-            # coco_instance in-loop eval pattern writing train_ap_results
-            # .txt, coco_instance.py:345-367). val_pq/val_ap are
-            # estimates over eval_max_batches * batch_size images — the
-            # sample size is recorded alongside so logs are not mistaken
-            # for full-split numbers.
-            val = _evaluate_state(recipe, cfg, ts, val_ds,
-                                  sharding=sharding, mesh=mesh,
-                                  max_batches=eval_max_batches)
-            record.update({f"val_{k}": v for k, v in val.items()})
-            record["val_sample_images"] = min(
-                eval_max_batches * recipe.batch_size, len(val_ds))
-            # the evaluators reuse the already-built (cached) val dataset
-            # and the memoized jitted eval step — the second in-training
-            # eval does zero dataset construction and zero retracing
-            if recipe.task == "panoptic":
-                from maskunet_tpu.tasks import evaluators
-                pan = evaluators.evaluate_panoptic(
-                    recipe, data_root, ts, max_batches=eval_max_batches,
-                    attn_impl=attn_impl, compute_dtype=compute_dtype,
-                    mesh=mesh, dataset=(val_ds, num_classes))
-                record["val_pq"] = pan["pq"]["All"]["pq"]
-                record["val_ap"] = pan["ap"]["AP"]
-            elif recipe.task == "instance":
-                from maskunet_tpu.tasks import evaluators
-                q = recipe.eval_max_queries[-1]
-                inst = evaluators.evaluate_instances(
-                    recipe, data_root, ts, max_queries=(q,),
-                    max_batches=eval_max_batches, attn_impl=attn_impl,
-                    compute_dtype=compute_dtype,
-                    mesh=mesh, dataset=(val_ds, num_classes))
-                record["val_ap"] = inst[q]["AP"]
-        history.append(record)
-        if is_lead:
-            logger.log(record)
-        if verbose:
-            print(f"epoch [{epoch + 1}/{epochs}] loss {avg_loss:.4f} "
-                  f"iou {avg_iou:.4f} "
-                  f"({record['images_per_sec']} img/s)")
-        if save_lead:
-            manager.save_latest(ts)
-
-        if max_steps is not None and steps_done >= max_steps:
-            stop_reason = "max_steps"
-            break
-        if guard(avg_iou):
-            stop_reason = "overfit_guard"
+            if count == 0:
+                raise ValueError(
+                    f"epoch produced no batches: train set has {len(train_ds)} "
+                    f"examples < batch size {recipe.batch_size} (drop_last)")
+            avg_loss = total_loss / max(count, 1)
+            avg_iou = total_iou / max(count, 1)
+            best_loss = min(best_loss, avg_loss)
+            best_iou = max(best_iou, avg_iou)
+            record = {"epoch": epoch + 1, "loss": avg_loss, "miou": avg_iou,
+                      "step": steps_done,
+                      "images_per_sec": round(meter.images_per_sec(), 2)}
+            # the epoch-end window (in-training validation incl. its
+            # first-time eval-step compile, panoptic/instance host
+            # decoding, full-state checkpoint D2H) is legitimately much
+            # slower than a step timeout sized for the step loop —
+            # suspend stall detection rather than kill a healthy run
+            if watchdog is not None:
+                watchdog.pause(f"epoch {epoch + 1} end "
+                               f"(validation/checkpoint window)")
+            if eval_every and (epoch + 1) % eval_every == 0:
+                # periodic in-training validation (the reference's
+                # coco_instance in-loop eval pattern writing train_ap_results
+                # .txt, coco_instance.py:345-367). val_pq/val_ap are
+                # estimates over eval_max_batches * batch_size images — the
+                # sample size is recorded alongside so logs are not mistaken
+                # for full-split numbers.
+                val = _evaluate_state(recipe, cfg, ts, val_ds,
+                                      sharding=sharding, mesh=mesh,
+                                      max_batches=eval_max_batches)
+                record.update({f"val_{k}": v for k, v in val.items()})
+                record["val_sample_images"] = min(
+                    eval_max_batches * recipe.batch_size, len(val_ds))
+                # the evaluators reuse the already-built (cached) val dataset
+                # and the memoized jitted eval step — the second in-training
+                # eval does zero dataset construction and zero retracing
+                if recipe.task == "panoptic":
+                    from maskunet_tpu.tasks import evaluators
+                    pan = evaluators.evaluate_panoptic(
+                        recipe, data_root, ts, max_batches=eval_max_batches,
+                        attn_impl=attn_impl, compute_dtype=compute_dtype,
+                        mesh=mesh, dataset=(val_ds, num_classes))
+                    record["val_pq"] = pan["pq"]["All"]["pq"]
+                    record["val_ap"] = pan["ap"]["AP"]
+                elif recipe.task == "instance":
+                    from maskunet_tpu.tasks import evaluators
+                    q = recipe.eval_max_queries[-1]
+                    inst = evaluators.evaluate_instances(
+                        recipe, data_root, ts, max_queries=(q,),
+                        max_batches=eval_max_batches, attn_impl=attn_impl,
+                        compute_dtype=compute_dtype,
+                        mesh=mesh, dataset=(val_ds, num_classes))
+                    record["val_ap"] = inst[q]["AP"]
+            history.append(record)
+            if is_lead:
+                logger.log(record)
             if verbose:
-                print("overfit guard triggered")
-            break
-        if early(avg_loss):
-            stop_reason = "early_stop"
-            if verbose:
-                print("early stopping triggered")
-            break
+                print(f"epoch [{epoch + 1}/{epochs}] loss {avg_loss:.4f} "
+                      f"iou {avg_iou:.4f} "
+                      f"({record['images_per_sec']} img/s)")
+            if save_lead:
+                manager.save_latest(ts)
+            if watchdog is not None:
+                watchdog.resume()
 
-    if watchdog is not None:
-        watchdog.__exit__(None, None, None)
+            if max_steps is not None and steps_done >= max_steps:
+                stop_reason = "max_steps"
+                break
+            if guard(avg_iou):
+                stop_reason = "overfit_guard"
+                if verbose:
+                    print("overfit guard triggered")
+                break
+            if early(avg_loss):
+                stop_reason = "early_stop"
+                if verbose:
+                    print("early stopping triggered")
+                break
+
+    finally:
+        # the armed daemon thread must never outlive train() —
+        # a sweep driver that catches this exception and keeps
+        # running would be killed (abort) or spammed (warn) by a
+        # leaked watchdog receiving no beats
+        if watchdog is not None:
+            watchdog.__exit__(None, None, None)
     if profiling:   # run ended inside the trace window (max_steps, early
         jax.profiler.stop_trace()   # stop, tiny dataset) — still flush it
     logger.close()

@@ -85,6 +85,7 @@ class StallWatchdog:
         self._context = "startup"
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._paused = False
         self.stalls = 0
 
     def beat(self, context: str = "") -> None:
@@ -92,8 +93,23 @@ class StallWatchdog:
         if context:
             self._context = context
 
+    def pause(self, context: str = "") -> None:
+        """Suspend stall detection (epoch-end validation / checkpoint
+        windows: first-time eval compiles and full-state D2H saves are
+        legitimately longer than a step timeout sized for the step loop).
+        `resume()` re-arms with a fresh clock."""
+        self._paused = True
+        if context:
+            self._context = context
+
+    def resume(self) -> None:
+        self._last = time.monotonic()
+        self._paused = False
+
     def _run(self) -> None:
         while not self._stop.wait(self._poll_s):
+            if self._paused:
+                continue
             elapsed = time.monotonic() - self._last
             if elapsed < self.timeout_s:
                 continue

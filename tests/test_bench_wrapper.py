@@ -141,7 +141,13 @@ def test_best_recorded_scans_round_records(tmp_path):
         {"parsed": {"value": 729.0}}))
     (tmp_path / "BENCH_r04.json").write_text("not json {")   # tolerated
     (tmp_path / "BENCH_r05.json").write_text(_json.dumps({"rc": 1}))
+    # a different batch size never competes with the batch-8 history —
+    # `bench.py 2` must not be flagged regressed against batch-8 bests
+    (tmp_path / "BENCH_r06.json").write_text(_json.dumps(
+        {"parsed": {"value": 900.0, "batch": 2}}))
     assert bench.best_recorded(str(tmp_path)) == 729.0
+    assert bench.best_recorded(str(tmp_path), batch=2) == 900.0
+    assert bench.best_recorded(str(tmp_path), batch=4) == 0.0
     assert bench.best_recorded(str(tmp_path / "empty")) == 0.0
 
 

@@ -573,3 +573,28 @@ def test_cli_dp_preflight_rejects_indivisible_batch(capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "batch_size=1" in err and "--n-data=8" in err
+
+
+def test_watchdog_torn_down_when_train_raises(tmp_path):
+    """The armed watchdog daemon must not outlive train() on the
+    exception path: a sweep driver that catches the error and keeps
+    running would otherwise be killed (abort mode) or spammed (warn
+    mode) by a leaked thread receiving no beats."""
+    import dataclasses
+    import threading
+
+    import pytest
+
+    from maskunet_tpu.tasks import recipes as recipes_lib
+    from maskunet_tpu.train import loop as loop_lib
+
+    # batch_size 128 > the 64-example synthetic train set -> drop_last
+    # yields zero batches -> ValueError from inside the epoch loop
+    rec = dataclasses.replace(recipes_lib.get("synthetic_semantic"),
+                              img_size=16, batch_size=128)
+    with pytest.raises(ValueError, match="no batches"):
+        loop_lib.train(rec, None, str(tmp_path), max_epochs=1,
+                       log_every=0, verbose=False, save_checkpoints=False,
+                       step_timeout=0.5)
+    assert not any(t.name == "stall-watchdog" and t.is_alive()
+                   for t in threading.enumerate())

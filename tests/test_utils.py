@@ -92,3 +92,22 @@ def test_stall_watchdog_abort_exits_42():
     assert proc.returncode == StallWatchdog.EXIT_CODE
     assert "watchdog" in proc.stderr
     assert "unreachable" not in proc.stdout
+
+
+def test_stall_watchdog_pause_resume():
+    """pause() suspends stall detection (epoch-end validation/checkpoint
+    windows are legitimately slower than a step-sized timeout); resume()
+    re-arms with a fresh clock."""
+    import time
+
+    from maskunet_tpu.utils.profiling import StallWatchdog
+
+    fired = []
+    with StallWatchdog(0.12, poll_s=0.02,
+                       on_stall=lambda el, ctx: fired.append(ctx)) as wd:
+        wd.pause("eval window")
+        time.sleep(0.4)    # well past the timeout: paused -> no stall
+        assert wd.stalls == 0 and not fired
+        wd.resume()
+        time.sleep(0.4)    # armed again with no beats -> stalls
+    assert wd.stalls >= 1 and fired

@@ -151,7 +151,11 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--out", default="recipes_e2e.json")
+    ap.add_argument("--out", default=None,
+                    help="summary path (default recipes_e2e.json, or "
+                         "recipes_plateau.json in --plateau mode — the "
+                         "two artifacts gate different test invariants "
+                         "and must not overwrite each other)")
     ap.add_argument("--n", type=int, default=24,
                     help="fake train images per dataset")
     ap.add_argument("--lr", type=float, default=None,
@@ -174,6 +178,9 @@ def main() -> None:
                          "exceptions, PARITY.md)")
     ap.add_argument("--step-budget", type=int, default=20000)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("recipes_plateau.json" if args.plateau
+                    else "recipes_e2e.json")
     if args.plateau and args.only is None:
         args.only = ["ade_semantic", "ade_panoptic", "city_semantic",
                      "city_instance", "coco_semantic", "coco_instance",
