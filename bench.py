@@ -57,12 +57,15 @@ def estimate_a100_baseline() -> float:
 REGRESSION_THRESHOLD = 0.9
 
 
-def best_recorded(root: str | None = None, batch: int = 8) -> float:
-    """Best headline img/s across the driver's BENCH_r*.json round records
-    AT THE SAME batch size (0.0 when none match or parse — e.g. a fresh
-    checkout, or a `bench.py 2` run with only batch-8 history: comparing
-    across batch sizes would flag a healthy chip as regressed). Records
-    predating the batch field were all batch-8 runs."""
+def best_recorded(root: str | None = None, batch: int = 8,
+                  field: str = "value") -> float:
+    """Best recorded img/s for `field` ("value" = headline inference rate,
+    "train_images_per_sec" = training rate) across the driver's
+    BENCH_r*.json round records AT THE SAME batch size (0.0 when none
+    match or parse — e.g. a fresh checkout, a `bench.py 2` run with only
+    batch-8 history, or a failed round that recorded `"parsed": null`:
+    comparing across batch sizes would flag a healthy chip as regressed).
+    Records predating the batch field were all batch-8 runs."""
     import glob
     import os
 
@@ -74,20 +77,21 @@ def best_recorded(root: str | None = None, batch: int = 8) -> float:
                 rec = json.load(f)
             if int(rec["parsed"].get("batch", 8)) != batch:
                 continue
-            val = float(rec["parsed"]["value"])
-        except (OSError, ValueError, KeyError, TypeError):
+            val = float(rec["parsed"][field])
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
             continue
         best = max(best, val)
     return best
 
 
-def regression_fields(value: float, best: float) -> dict:
-    """Extra JSON fields comparing this run to the best recorded round."""
+def regression_fields(value: float, best: float, prefix: str = "") -> dict:
+    """Extra JSON fields comparing this run to the best recorded round;
+    `prefix` namespaces the keys for non-headline metrics (train)."""
     if best <= 0.0:
         return {}
     return {
-        "best_recorded": round(best, 1),
-        "regressed": bool(value < REGRESSION_THRESHOLD * best),
+        prefix + "best_recorded": round(best, 1),
+        prefix + "regressed": bool(value < REGRESSION_THRESHOLD * best),
     }
 
 
@@ -179,10 +183,17 @@ def _measure_and_print(batch: int) -> None:
           f"infer={infer_ips:.1f} img/s train={train_ips:.1f} img/s "
           f"(A100 ref estimate {baseline} img/s infer)", file=sys.stderr)
     extra = regression_fields(infer_ips, best_recorded(batch=batch))
-    if extra.get("regressed"):
-        print(f"[bench] REGRESSION: {infer_ips:.1f} img/s < "
-              f"{REGRESSION_THRESHOLD:.0%} of best recorded "
-              f"{extra['best_recorded']} img/s", file=sys.stderr)
+    # gate the training rate too: a gradient-path/optimizer regression
+    # leaves inference untouched and would otherwise pass silently
+    extra.update(regression_fields(
+        train_ips, best_recorded(batch=batch, field="train_images_per_sec"),
+        prefix="train_"))
+    for label, key, rate in (("infer", "", infer_ips),
+                             ("train", "train_", train_ips)):
+        if extra.get(key + "regressed"):
+            print(f"[bench] REGRESSION ({label}): {rate:.1f} img/s < "
+                  f"{REGRESSION_THRESHOLD:.0%} of best recorded "
+                  f"{extra[key + 'best_recorded']} img/s", file=sys.stderr)
     print(json.dumps({
         "metric": "maskattn_unet_128px_inference",
         "value": round(infer_ips, 1),

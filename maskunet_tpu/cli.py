@@ -293,6 +293,14 @@ def main(argv=None) -> int:
             mesh = mesh_lib.make_mesh(n_data=args.n_data)
 
     if args.cmd == "train":
+        if (getattr(args, "step_timeout_abort", False)
+                and not getattr(args, "step_timeout", None)):
+            # without a timeout no watchdog is armed — refuse rather than
+            # silently run unsupervised when the operator asked for abort
+            print("error: --step-timeout-abort requires --step-timeout "
+                  "(no watchdog is armed without a timeout)",
+                  file=sys.stderr)
+            return 2
         from maskunet_tpu.train import loop
         result = loop.train(
             recipe, args.data_root, args.workdir,

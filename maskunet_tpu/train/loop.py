@@ -412,8 +412,6 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                       f"({record['images_per_sec']} img/s)")
             if save_lead:
                 manager.save_latest(ts)
-            if watchdog is not None:
-                watchdog.resume()
 
             if max_steps is not None and steps_done >= max_steps:
                 stop_reason = "max_steps"
@@ -423,11 +421,17 @@ def train(recipe: Recipe, data_root: str | None, workdir: str, *,
                 if verbose:
                     print("overfit guard triggered")
                 break
+            # early() can save a best checkpoint on improvement (which may
+            # block on the previous in-flight async write) — it must stay
+            # inside the paused epoch-end window; resume only once the
+            # step loop is about to restart
             if early(avg_loss):
                 stop_reason = "early_stop"
                 if verbose:
                     print("early stopping triggered")
                 break
+            if watchdog is not None:
+                watchdog.resume()
 
     finally:
         # the armed daemon thread must never outlive train() —

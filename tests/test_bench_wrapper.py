@@ -130,6 +130,9 @@ def test_regression_gate_fields():
     assert f == {"best_recorded": 100.0, "regressed": True}
     f = bench.regression_fields(91.0, 100.0)
     assert f["regressed"] is False
+    # train-rate gate rides under namespaced keys
+    f = bench.regression_fields(150.0, 214.5, prefix="train_")
+    assert f == {"train_best_recorded": 214.5, "train_regressed": True}
 
 
 def test_best_recorded_scans_round_records(tmp_path):
@@ -141,14 +144,23 @@ def test_best_recorded_scans_round_records(tmp_path):
         {"parsed": {"value": 729.0}}))
     (tmp_path / "BENCH_r04.json").write_text("not json {")   # tolerated
     (tmp_path / "BENCH_r05.json").write_text(_json.dumps({"rc": 1}))
+    # a failed driver round records "parsed": null — must be tolerated,
+    # not crash the measurement with AttributeError
+    (tmp_path / "BENCH_r07.json").write_text(_json.dumps(
+        {"parsed": None, "rc": 1}))
     # a different batch size never competes with the batch-8 history —
     # `bench.py 2` must not be flagged regressed against batch-8 bests
     (tmp_path / "BENCH_r06.json").write_text(_json.dumps(
         {"parsed": {"value": 900.0, "batch": 2}}))
+    # train-rate history rides in the same records under its own field
+    (tmp_path / "BENCH_r08.json").write_text(_json.dumps(
+        {"parsed": {"value": 700.0, "train_images_per_sec": 214.5}}))
     assert bench.best_recorded(str(tmp_path)) == 729.0
     assert bench.best_recorded(str(tmp_path), batch=2) == 900.0
     assert bench.best_recorded(str(tmp_path), batch=4) == 0.0
     assert bench.best_recorded(str(tmp_path / "empty")) == 0.0
+    assert bench.best_recorded(
+        str(tmp_path), field="train_images_per_sec") == 214.5
 
 
 def test_best_recorded_real_repo_records():

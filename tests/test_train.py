@@ -575,6 +575,17 @@ def test_cli_dp_preflight_rejects_indivisible_batch(capsys):
     assert "batch_size=1" in err and "--n-data=8" in err
 
 
+def test_cli_rejects_abort_without_timeout(capsys):
+    """--step-timeout-abort without --step-timeout arms no watchdog at
+    all (loop.train gates on `if step_timeout:`) — the CLI must refuse
+    rather than silently run unsupervised."""
+    from maskunet_tpu import cli
+    rc = cli.main(["train", "--recipe", "ade_semantic",
+                   "--step-timeout-abort"])
+    assert rc == 2
+    assert "--step-timeout" in capsys.readouterr().err
+
+
 def test_watchdog_torn_down_when_train_raises(tmp_path):
     """The armed watchdog daemon must not outlive train() on the
     exception path: a sweep driver that catches the error and keeps

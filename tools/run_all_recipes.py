@@ -217,10 +217,22 @@ def main() -> None:
         # didn't have yet (a pure replace would silently drop them);
         # stamp the run settings per merged row since the file-level
         # epochs/n/lr describe the original full run, not this merge
+        # (plateau mode ignores --epochs, so stamp the budget actually
+        # used instead)
         fresh = {r["recipe"]: r for r in rows}
         for r in rows:
-            r["merge_epochs"] = args.epochs
+            if args.plateau:
+                r["merge_step_budget"] = args.step_budget
+            else:
+                r["merge_epochs"] = args.epochs
             r["merge_n_train_images"] = args.n
+        # keep the file-level plateau metadata describing the current
+        # flags — a --plateau re-run with a different --step-budget
+        # would otherwise misdocument every refreshed row
+        if args.plateau:
+            summary["plateau"] = True
+            summary["step_budget"] = args.step_budget
+            summary.setdefault("band_tolerance", 0.02)
         existing = {r["recipe"] for r in summary["rows"]}
         summary["rows"] = ([fresh.pop(r["recipe"], r)
                             for r in summary["rows"]]
